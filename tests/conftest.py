@@ -13,3 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# XLA:CPU's default matmul/conv precision is visibly lossy (~1e-3); force full
+# fp32 so parity tests measure architecture, not backend rounding. Production
+# TPU runs keep the default (bf16 MXU passes) — set per-op where it matters.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
