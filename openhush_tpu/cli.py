@@ -1,0 +1,211 @@
+"""openhush CLI — command surface parity with the reference binary
+(src/main.rs:49-218): start/stop/status/config/model/device/transcribe/
+record/recording/service/secret/api-key/summarize/preferences/setup.
+
+This module wires the subcommands; transcribe output is byte-compatible with
+the reference (text block and JSON keys, src/main.rs:1025-1050).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_transcribe(sub):
+    p = sub.add_parser("transcribe", help="Transcribe an audio file")
+    p.add_argument("file")
+    p.add_argument("--format", "-f", default="text",
+                   help="text|json|srt|vtt|timestamped")
+    p.add_argument("--model", "-m", default=None,
+                   help="tiny|base|small|medium|large-v2|large-v3|large-v3-turbo")
+    p.add_argument("--language", "-l", default=None)
+    p.add_argument("--translate", action="store_true")
+    p.add_argument("--beam-size", type=int, default=None)
+    p.add_argument("--random-init", action="store_true",
+                   help="run with random weights when no checkpoint exists "
+                        "(smoke tests only)")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p
+
+
+def cmd_transcribe(args) -> int:
+    import os
+
+    from openhush_tpu.audio.wav import load_wav
+    from openhush_tpu.runtime.engine import WhisperEngine
+    from openhush_tpu.text import formats
+    from openhush_tpu.utils.config import Config
+
+    if not os.path.exists(args.file):
+        print(f"File not found: {args.file}", file=sys.stderr)
+        return 1
+
+    config = Config.load_or_default()
+    model = args.model or config.transcription.effective_model()
+    language = args.language or config.transcription.language
+
+    t_load = time.monotonic()
+    audio = load_wav(args.file)
+    load_ms = (time.monotonic() - t_load) * 1000
+    duration = len(audio) / 16000.0
+    print(f"Loaded: {duration:.2f}s audio ({len(audio)} samples) "
+          f"in {load_ms:.0f}ms")
+
+    print(f"Loading model: {model}.npz (TPU: True)")
+    t_model = time.monotonic()
+    try:
+        engine = WhisperEngine(model, language=language,
+                               translate=args.translate, dtype=args.dtype,
+                               allow_random_init=args.random_init)
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    print(f"Model loaded in {(time.monotonic() - t_model) * 1000:.0f}ms")
+
+    print("Transcribing...")
+    t0 = time.monotonic()
+    result = engine.transcribe(audio, language=args.language,
+                               translate=args.translate,
+                               beam_size=args.beam_size)
+    transcribe_s = time.monotonic() - t0
+    rtf = transcribe_s / duration
+
+    fmt = args.format.lower()
+    if fmt == "json":
+        # Key set parity: src/main.rs:1028-1036.
+        print(json.dumps({
+            "text": result.text,
+            "language": result.language,
+            "duration_ms": result.duration_ms,
+            "audio_duration_secs": duration,
+            "transcription_time_ms": int(transcribe_s * 1000),
+            "real_time_factor": rtf,
+            "model": model,
+        }, indent=2))
+    elif fmt in ("srt", "vtt", "timestamped"):
+        segs = [formats.TranscribedSegment(s.start, s.end, s.text.strip())
+                for s in result.segments]
+        print(formats.render(segs, fmt), end="")
+    else:
+        print("\n--- Transcription ---")
+        print(result.text)
+        print("---")
+        print(f"\nTime: {transcribe_s * 1000:.0f}ms (RTF: {rtf:.3f}x)")
+    return 0
+
+
+def cmd_model(args) -> int:
+    from openhush_tpu.models.whisper.config import CONFIGS
+
+    if args.model_cmd == "list":
+        from openhush_tpu.runtime.engine import default_model_dir
+        import os
+        print("Available models:")
+        for name, cfg in CONFIGS.items():
+            if name == "test":
+                continue
+            path = os.path.join(default_model_dir(), f"{name}.npz")
+            status = "downloaded" if os.path.exists(path) else "not converted"
+            print(f"  {name:16s} d={cfg.n_audio_state:5d} "
+                  f"layers={cfg.n_audio_layer:2d}/{cfg.n_text_layer:<2d} "
+                  f"mels={cfg.n_mels:3d}  [{status}]")
+        return 0
+    if args.model_cmd == "convert":
+        return _convert_model(args)
+    print(f"unknown model subcommand: {args.model_cmd}", file=sys.stderr)
+    return 1
+
+
+def _convert_model(args) -> int:
+    """Convert a local HF Whisper checkpoint directory to our npz format."""
+    import os
+
+    from openhush_tpu.models.whisper.config import get_config
+    from openhush_tpu.models.whisper.convert import (from_hf_state_dict,
+                                                     save_npz)
+    from openhush_tpu.runtime.engine import default_model_dir
+
+    cfg = get_config(args.name)
+    sd = None
+    hf = args.hf_path
+    st_path = os.path.join(hf, "model.safetensors")
+    bin_path = os.path.join(hf, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file  # type: ignore
+        sd = load_file(st_path)
+    elif os.path.exists(bin_path):
+        import torch
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    else:
+        print(f"No checkpoint found under {hf}", file=sys.stderr)
+        return 1
+    params = from_hf_state_dict(sd, cfg)
+    out = args.output or os.path.join(default_model_dir(),
+                                      f"{args.name}.npz")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_npz(params, out)
+    print(f"Converted {args.name} → {out}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    from openhush_tpu import __version__
+    p = argparse.ArgumentParser(
+        prog="openhush",
+        description="Local voice-to-text (TPU-native rebuild)")
+    p.add_argument("--version", action="version",
+                   version=f"openhush-tpu {__version__}")
+    p.add_argument("--verbose", "-v", action="count", default=0)
+    sub = p.add_subparsers(dest="command")
+
+    _add_transcribe(sub)
+
+    pm = sub.add_parser("model", help="Manage models")
+    pm_sub = pm.add_subparsers(dest="model_cmd")
+    pm_sub.add_parser("list", help="List models")
+    pc = pm_sub.add_parser("convert",
+                           help="Convert a HF checkpoint to npz")
+    pc.add_argument("name")
+    pc.add_argument("--hf-path", required=True)
+    pc.add_argument("--output", default=None)
+
+    for name, helptext in [
+            ("start", "Start the daemon"),
+            ("stop", "Stop the daemon"),
+            ("status", "Show daemon status"),
+            ("record", "Record and transcribe long-form audio"),
+            ("recording", "Control recording (start/stop/toggle)"),
+            ("config", "Get/set configuration"),
+            ("device", "List/select audio devices"),
+            ("service", "Manage autostart service"),
+            ("secret", "Manage secrets"),
+            ("api-key", "Manage API keys"),
+            ("summarize", "Summarize a transcript"),
+            ("preferences", "Open preferences"),
+            ("setup", "First-run setup wizard")]:
+        sub.add_parser(name, help=helptext, add_help=False,
+                       prefix_chars="\x00").add_argument(
+            "args", nargs=argparse.REMAINDER)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "transcribe":
+        return cmd_transcribe(args)
+    if args.command == "model":
+        return cmd_model(args)
+    if args.command is None:
+        build_parser().print_help()
+        return 0
+    # Commands wired in later milestones dispatch through the daemon module.
+    from openhush_tpu.runtime import daemon_cli
+    return daemon_cli.dispatch(args.command, getattr(args, "args", []))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,234 @@
+"""TOML config system, schema-compatible with the reference's
+~/.config/openhush/config.toml (src/config.rs:133-1247).
+
+Implemented as dataclasses with per-field defaults so partial configs work
+(the reference uses serde #[serde(default)] the same way). Sections are added
+as their subsystems land; unknown sections/keys are preserved on save.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import tomllib
+from typing import Any, Optional
+
+CONFIG_ENV = "OPENHUSH_CONFIG"
+
+
+def config_path() -> str:
+    if os.environ.get(CONFIG_ENV):
+        return os.environ[CONFIG_ENV]
+    xdg = os.environ.get("XDG_CONFIG_HOME",
+                         os.path.join(os.path.expanduser("~"), ".config"))
+    return os.path.join(xdg, "openhush", "config.toml")
+
+
+@dataclasses.dataclass
+class TranscriptionConfig:
+    """Parity: transcription section incl. presets instant=small,
+    balanced=medium, quality=large-v3 (src/config.rs:615-638)."""
+    model: str = "base"
+    preset: str = "custom"           # instant|balanced|quality|custom
+    language: str = "auto"
+    translate: bool = False
+    device: str = "tpu"
+
+    PRESETS = {"instant": "small", "balanced": "medium",
+               "quality": "large-v3"}
+
+    def effective_model(self) -> str:
+        return self.PRESETS.get(self.preset, self.model)
+
+
+@dataclasses.dataclass
+class HotkeyConfig:
+    key: str = "F9"
+    mode: str = "push_to_talk"       # push_to_talk|toggle|continuous
+
+
+@dataclasses.dataclass
+class AudioConfig:
+    device: str = ""
+    sample_rate: int = 16000
+    channels: list = dataclasses.field(default_factory=list)
+    normalization_enabled: bool = True
+    normalization_target_db: float = -20.0
+    compression_enabled: bool = False
+    compression_threshold_db: float = -20.0
+    compression_ratio: float = 4.0
+    compression_attack_ms: float = 5.0
+    compression_release_ms: float = 50.0
+    compression_makeup_gain_db: float = 0.0
+    limiter_enabled: bool = True
+    limiter_ceiling_db: float = -1.0
+    limiter_release_ms: float = 50.0
+    noise_reduction_enabled: bool = False
+    noise_reduction_strength: float = 1.0
+    resampling_quality: str = "sinc"  # sinc|linear
+
+
+@dataclasses.dataclass
+class QueueConfig:
+    """Parity: queue section (src/config.rs:860-897): backpressure strategy
+    + auto-tuned chunk interval when <= 0."""
+    max_pending: int = 10
+    backpressure: str = "drop_oldest"   # drop_oldest|drop_newest|warn
+    chunk_interval_secs: float = 0.0     # <=0 → auto-tune at startup
+
+
+@dataclasses.dataclass
+class VadConfig:
+    enabled: bool = True
+    threshold: float = 0.5
+    min_speech_ms: int = 250
+    min_silence_ms: int = 700
+    pad_ms: int = 30
+
+
+@dataclasses.dataclass
+class WakeWordConfig:
+    enabled: bool = False
+    model: str = "hey_jarvis"
+    threshold: float = 0.5
+
+
+@dataclasses.dataclass
+class ApiConfig:
+    enabled: bool = False
+    host: str = "127.0.0.1"
+    port: int = 8765
+    api_key_hash: str = ""           # SHA-256 hex of the API key
+    cors_origins: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class OutputConfig:
+    mode: str = "both"               # clipboard|paste|both
+    paste_method: str = "type"       # type|ctrl_v|xdotool
+
+
+@dataclasses.dataclass
+class LoggingConfig:
+    level: str = "info"
+    file_enabled: bool = False
+
+
+@dataclasses.dataclass
+class Config:
+    transcription: TranscriptionConfig = dataclasses.field(
+        default_factory=TranscriptionConfig)
+    hotkey: HotkeyConfig = dataclasses.field(default_factory=HotkeyConfig)
+    audio: AudioConfig = dataclasses.field(default_factory=AudioConfig)
+    queue: QueueConfig = dataclasses.field(default_factory=QueueConfig)
+    vad: VadConfig = dataclasses.field(default_factory=VadConfig)
+    wake_word: WakeWordConfig = dataclasses.field(
+        default_factory=WakeWordConfig)
+    api: ApiConfig = dataclasses.field(default_factory=ApiConfig)
+    output: OutputConfig = dataclasses.field(default_factory=OutputConfig)
+    logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
+    extra: dict = dataclasses.field(default_factory=dict)
+
+    # -- load/save -----------------------------------------------------------
+
+    @classmethod
+    def load_or_default(cls, path: Optional[str] = None) -> "Config":
+        path = path or config_path()
+        if not os.path.exists(path):
+            return cls()
+        with open(path, "rb") as f:
+            raw = tomllib.load(f)
+        return cls.from_dict(raw)
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "Config":
+        cfg = cls()
+        known = {f.name: f for f in dataclasses.fields(cls)
+                 if f.name != "extra"}
+        for section, value in raw.items():
+            if section in known and isinstance(value, dict):
+                target = getattr(cfg, section)
+                field_names = {f.name for f in dataclasses.fields(target)}
+                for k, v in value.items():
+                    if k in field_names:
+                        setattr(target, k, v)
+                    else:
+                        cfg.extra.setdefault(section, {})[k] = v
+            else:
+                cfg.extra[section] = value
+        return cfg
+
+    def to_dict(self) -> dict:
+        out: dict[str, Any] = {}
+        for f in dataclasses.fields(self):
+            if f.name == "extra":
+                continue
+            section = getattr(self, f.name)
+            d = dataclasses.asdict(section)
+            d.pop("PRESETS", None)
+            out[f.name] = d
+        for section, value in self.extra.items():
+            if section in out and isinstance(value, dict):
+                out[section].update(value)
+            else:
+                out[section] = value
+        return out
+
+    def save(self, path: Optional[str] = None) -> None:
+        path = path or config_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(dumps_toml(self.to_dict()))
+
+    # -- validation (parity: Config::validate, src/config.rs:1286) ----------
+
+    def validate(self) -> list[str]:
+        errors = []
+        from openhush_tpu.models.whisper.config import CONFIGS
+        if self.transcription.effective_model() not in CONFIGS:
+            errors.append(
+                f"unknown model {self.transcription.effective_model()!r}")
+        if self.transcription.preset not in (
+                "instant", "balanced", "quality", "custom"):
+            errors.append(f"unknown preset {self.transcription.preset!r}")
+        if not 0.0 <= self.vad.threshold <= 1.0:
+            errors.append("vad.threshold must be in [0, 1]")
+        if self.queue.max_pending < 1:
+            errors.append("queue.max_pending must be >= 1")
+        if self.queue.backpressure not in ("drop_oldest", "drop_newest",
+                                           "warn"):
+            errors.append(
+                f"unknown backpressure {self.queue.backpressure!r}")
+        if not 1 <= self.api.port <= 65535:
+            errors.append("api.port out of range")
+        return errors
+
+
+def dumps_toml(d: dict) -> str:
+    """Minimal TOML writer (stdlib has no dumper)."""
+    lines = []
+
+    def fmt(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, list):
+            return "[" + ", ".join(fmt(x) for x in v) + "]"
+        s = str(v).replace("\\", "\\\\").replace('"', '\\"')
+        return f'"{s}"'
+
+    def walk(prefix: str, table: dict):
+        scalars = {k: v for k, v in table.items() if not isinstance(v, dict)}
+        subs = {k: v for k, v in table.items() if isinstance(v, dict)}
+        if prefix:
+            lines.append(f"[{prefix}]")
+        for k, v in scalars.items():
+            lines.append(f"{k} = {fmt(v)}")
+        if scalars or prefix:
+            lines.append("")
+        for k, v in subs.items():
+            walk(f"{prefix}.{k}" if prefix else k, v)
+
+    walk("", d)
+    return "\n".join(lines)

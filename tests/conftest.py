@@ -6,7 +6,8 @@ reference's strategy of keeping the full test suite runnable with no GPU
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Override (not setdefault): the host env pins JAX_PLATFORMS=axon (TPU).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,3 +21,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end test")
+    config.addinivalue_line("markers", "tpu: requires real TPU hardware")

@@ -1,0 +1,85 @@
+"""CLI integration tests driving the real entry point in a subprocess —
+port of the reference's tests/cli_integration.rs strategy (help/version/
+invalid input/no-daemon paths, no model or audio hardware required)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, timeout=600):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "openhush_tpu.cli", *args],
+        capture_output=True, text=True, timeout=timeout, env=env)
+
+
+def test_help():
+    r = run_cli("--help")
+    assert r.returncode == 0
+    for cmd in ("transcribe", "model", "start", "stop", "status", "record",
+                "service", "secret", "summarize"):
+        assert cmd in r.stdout
+
+
+def test_version():
+    r = run_cli("--version")
+    assert r.returncode == 0
+    assert "openhush-tpu" in r.stdout
+
+
+def test_model_list():
+    r = run_cli("model", "list")
+    assert r.returncode == 0
+    for m in ("tiny", "base", "small", "medium", "large-v3"):
+        assert m in r.stdout
+
+
+def test_transcribe_missing_file():
+    r = run_cli("transcribe", "/nonexistent.wav")
+    assert r.returncode == 1
+    assert "File not found" in r.stderr
+
+
+def test_transcribe_missing_model(tmp_path):
+    from openhush_tpu.audio.wav import save_wav
+    p = str(tmp_path / "a.wav")
+    save_wav(p, np.zeros(16000, np.float32))
+    r = run_cli("transcribe", p, "--model", "tiny")
+    assert r.returncode == 1
+    assert "Model not found" in r.stderr
+
+
+@pytest.mark.slow
+def test_transcribe_json_random_init(tmp_path):
+    """End-to-end: WAV → JSON with the reference's exact key set
+    (src/main.rs:1028-1036)."""
+    from openhush_tpu.audio.wav import save_wav
+    rng = np.random.default_rng(0)
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    p = str(tmp_path / "b.wav")
+    save_wav(p, audio)
+    r = run_cli("transcribe", p, "--model", "test", "--random-init",
+                "--dtype", "float32", "--format", "json")
+    assert r.returncode == 0, r.stderr
+    payload = r.stdout[r.stdout.index("{"):]
+    data = json.loads(payload)
+    assert set(data) == {"text", "language", "duration_ms",
+                         "audio_duration_secs", "transcription_time_ms",
+                         "real_time_factor", "model"}
+    assert data["model"] == "test"
+    assert data["real_time_factor"] > 0
+
+
+def test_unimplemented_commands_report_honestly():
+    r = run_cli("summarize")
+    assert r.returncode == 2
+    assert "not available yet" in r.stderr
