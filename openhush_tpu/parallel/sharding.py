@@ -1,0 +1,88 @@
+"""Device mesh + sharding rules (tensor-parallel × data-parallel over ICI).
+
+The reference has no multi-device path (SURVEY.md §2c: GpuConfig exists but is
+never consumed, src/config.rs:899-908). Here sharding is first-class:
+
+- Mesh axes: ("data", "model"). "data" shards batch (concurrent sessions /
+  windows); "model" is Megatron-style tensor parallelism over attention heads
+  and MLP hidden — the layout whose collectives (psum of per-device partial
+  outputs) ride ICI.
+- Param rule: column-parallel for q/k/v and fc1 (shard output dim), row-
+  parallel for o and fc2 (shard input dim); embeddings/conv/LN replicated.
+  XLA GSPMD inserts the reduce at each row-parallel matmul automatically.
+- KV caches shard over heads ("model") and batch ("data") so decode steps
+  never move cache bytes across chips.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(n_model: Optional[int] = None,
+                devices=None) -> Mesh:
+    """Mesh over all (or given) devices, shaped [data, model]."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if n_model is None:
+        n_model = 1 if n == 1 else min(4, n)
+    assert n % n_model == 0, f"{n} devices not divisible by model={n_model}"
+    arr = np.array(devices).reshape(n // n_model, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# Param-tree sharding rules: leaf name → PartitionSpec (leading [L] axis on
+# stacked layer weights is never sharded).
+_LAYER_RULES = {
+    # column-parallel (output dim = heads / ffn hidden)
+    "q_w": P(None, None, MODEL_AXIS), "q_b": P(None, MODEL_AXIS),
+    "k_w": P(None, None, MODEL_AXIS),
+    "v_w": P(None, None, MODEL_AXIS), "v_b": P(None, MODEL_AXIS),
+    "xq_w": P(None, None, MODEL_AXIS), "xq_b": P(None, MODEL_AXIS),
+    "xk_w": P(None, None, MODEL_AXIS),
+    "xv_w": P(None, None, MODEL_AXIS), "xv_b": P(None, MODEL_AXIS),
+    "fc1_w": P(None, None, MODEL_AXIS), "fc1_b": P(None, MODEL_AXIS),
+    # row-parallel (input dim sharded, output reduced)
+    "o_w": P(None, MODEL_AXIS, None),
+    "xo_w": P(None, MODEL_AXIS, None),
+    "fc2_w": P(None, MODEL_AXIS, None),
+}
+
+
+def param_spec(params) -> dict:
+    """PartitionSpec pytree matching a Whisper param pytree."""
+    def walk(node, name=""):
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        return _LAYER_RULES.get(name, P())
+    return walk(params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a (host/numpy) param pytree onto the mesh with TP sharding."""
+    specs = param_spec(params)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)),
+        params, specs)
+
+
+def data_sharding(mesh: Mesh, trailing_none: int = 0):
+    """NamedSharding for batched activations: batch on 'data', rest
+    replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * trailing_none)))
+
+
+def cache_spec() -> P:
+    """KV cache [L, B, H, T, Dh]: batch on data, heads on model."""
+    return P(None, DATA_AXIS, MODEL_AXIS, None, None)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())

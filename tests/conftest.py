@@ -15,11 +15,16 @@ if "xla_force_host_platform_device_count" not in flags:
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) force-registers the
+# TPU backend regardless of JAX_PLATFORMS in the env; jax.config overrides it.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 # XLA:CPU's default matmul/conv precision is visibly lossy (~1e-3); force full
 # fp32 so parity tests measure architecture, not backend rounding. Production
 # TPU runs keep the default (bf16 MXU passes) — set per-op where it matters.
-import jax  # noqa: E402
-
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
