@@ -131,10 +131,16 @@ class WhisperEngine:
         for ti, t in enumerate(TEMPERATURES):
             o = dataclasses.replace(opts, temperature=t,
                                     language=language)
-            result = decoding.decode_greedy(
-                self.cfg, self.params, cross_kv, tok, o,
-                prompt_ids=prompt_ids,
-                rng=jax.random.PRNGKey(ti))
+            if t == 0.0 and opts.beam_size:
+                from openhush_tpu.models.whisper import beam
+                result = beam.decode_beam(
+                    self.cfg, self.params, cross_kv, tok, o,
+                    prompt_ids=prompt_ids)
+            else:
+                result = decoding.decode_greedy(
+                    self.cfg, self.params, cross_kv, tok, o,
+                    prompt_ids=prompt_ids,
+                    rng=jax.random.PRNGKey(ti))
             content = self._content_tokens(result)
             text = tok.decode(content)
             cr = compression_ratio(text)

@@ -73,3 +73,9 @@ def test_missing_model_error():
 def test_benchmark_chunk_interval(engine):
     interval = engine.benchmark_chunk_interval()
     assert 0.5 <= interval <= 20.0
+
+
+def test_transcribe_with_beam(engine):
+    res = engine.transcribe(_speechish(1.5), language="en", beam_size=2)
+    assert isinstance(res, TranscriptionResult)
+    assert all(np.isfinite(s.avg_logprob) for s in res.segments)
