@@ -28,6 +28,7 @@ import numpy as np
 
 from openhush_tpu.models.whisper import model as whisper
 from openhush_tpu.models.whisper.config import get_config
+from openhush_tpu.ops import frontend_pallas
 from openhush_tpu.ops import mel as mel_ops
 
 MODEL = os.environ.get("OPENHUSH_BENCH_MODEL", "large-v3")
@@ -42,7 +43,7 @@ def make_bench_step(cfg):
     def bench_step(params, audio, prompt):
         """audio [B, 480000] → logits after DECODE_STEPS greedy steps."""
         mel = jax.vmap(
-            lambda a: mel_ops.log_mel_spectrogram(a, n_mels=cfg.n_mels)
+            lambda a: frontend_pallas.log_mel(a, n_mels=cfg.n_mels)
         )(audio).astype(jnp.bfloat16)
         feats = whisper.encode(cfg, params, mel)
         cross_kv = whisper.compute_cross_kv(cfg, params, feats)

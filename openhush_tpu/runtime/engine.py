@@ -207,8 +207,9 @@ class WhisperEngine:
             segment_frames = min(len(window) // mel_ops.HOP_LENGTH,
                                  content_frames - seek)
             segment_duration = segment_frames / FRAMES_PER_SECOND
+            from openhush_tpu.ops import frontend_pallas
             window = np.asarray(mel_ops.pad_or_trim(window))
-            mel = mel_ops.log_mel_spectrogram(
+            mel = frontend_pallas.log_mel(
                 jnp.asarray(window), n_mels=self.cfg.n_mels)[None]
             feats = self._encode(self.params, mel.astype(self.dtype))
             cross_kv = self._cross_kv(self.params, feats)
