@@ -237,10 +237,13 @@ def compute_cross_kv(cfg: WhisperConfig, params: Params,
 def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
            pos: jax.Array, cache: KVCache, cross_kv: KVCache,
            ) -> tuple[jax.Array, KVCache]:
-    """Run the decoder on `tokens` [B, S] starting at position `pos` (scalar
-    int32), attending to cached self-attention history and precomputed
-    cross K/V. Handles both prefill (S>1) and single-token AR steps (S=1)
-    with the same compiled graph per S.
+    """Run the decoder on `tokens` [B, S] starting at position `pos`,
+    attending to cached self-attention history and precomputed cross K/V.
+    Handles both prefill (S>1) and single-token AR steps (S=1) with the same
+    compiled graph per S.
+
+    `pos` may be a scalar (all rows at the same offset — one-shot decode) or
+    a [B] vector (continuous batching: every slot at its own offset).
 
     Returns (logits [B, S, n_vocab_padded] fp32, updated cache).
     """
@@ -248,15 +251,32 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
     B, S = tokens.shape
     n_head = cfg.n_text_head
     max_len = cache.k.shape[3]
+    pos = jnp.asarray(pos)
+    per_row = pos.ndim == 1
 
     x = dec["tok_emb"][tokens]
-    pos_ids = pos + jnp.arange(S)
+    if per_row:
+        pos_ids = pos[:, None] + jnp.arange(S)[None, :]       # [B, S]
+    else:
+        pos_ids = pos + jnp.arange(S)
     x = x + dec["pos_emb"][pos_ids].astype(x.dtype)
 
     # Mask over cached keys: key j visible to query i iff j <= pos + i.
     key_idx = jnp.arange(max_len)[None, :]          # [1, max_len]
-    q_idx = pos + jnp.arange(S)[:, None]            # [S, 1]
-    self_mask = (key_idx <= q_idx)[None, None]      # [1, 1, S, max_len]
+    q_idx = jnp.arange(S)[:, None]                  # [S, 1]
+    if per_row:
+        self_mask = (key_idx[None] <=
+                     (pos[:, None, None] + q_idx[None]))[:, None]
+    else:
+        self_mask = (key_idx <= pos + q_idx)[None, None]  # [1,1,S,max_len]
+
+    def _update_cache(c, new):
+        """c [B,H,T,D] ← new [B,H,S,D] at per-row or shared offset."""
+        if per_row:
+            return jax.vmap(
+                lambda cb, nb, p: jax.lax.dynamic_update_slice(
+                    cb, nb, (0, p, 0)))(c, new, pos)
+        return jax.lax.dynamic_update_slice(c, new, (0, 0, pos, 0))
 
     def block(x, scanned):
         lp, k_cache, v_cache, xk, xv = scanned
@@ -265,8 +285,8 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
         q = _split_heads(h @ lp["q_w"] + lp["q_b"], n_head)
         k_new = _split_heads(h @ lp["k_w"], n_head)
         v_new = _split_heads(h @ lp["v_w"] + lp["v_b"], n_head)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, 0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, 0, pos, 0))
+        k_cache = _update_cache(k_cache, k_new)
+        v_cache = _update_cache(v_cache, v_new)
         x = x + _merge_heads(_attend(q, k_cache, v_cache, self_mask)) @ lp["o_w"] + lp["o_b"]
         # --- cross-attention over audio features ---
         h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])

@@ -1,0 +1,231 @@
+"""Continuous batching across concurrent capture sessions.
+
+THE structural difference from the reference: whisper.cpp serializes jobs
+through one worker thread (src/queue/worker.rs:255 — one engine, one job at a
+time); here one persistent compiled decode step advances EVERY active session
+by one token per dispatch, with admission and eviction happening *between*
+steps at fixed shapes — no recompilation, no per-session graphs.
+
+Device state (all fixed-shape, donated through the step kernel):
+  cache [L, B, H, n_ctx, Dh]   per-slot self-attention KV
+  xkv   [L, B, H, 1500, Dh]    per-slot cross-attention KV (encoder output)
+  tokens [B, n_ctx]            prompt + generated ids
+  pos [B] / length [B]         per-row decode offsets (decode() vector-pos)
+  last_logits [B, V]           carried between dispatches
+  ts_state, finished, active   per-row decode-rule state
+
+Admission = encode window (separate jit) → write one slot (jit, donated) →
+prefill that row. The step kernel runs `inner_steps` tokens per dispatch to
+amortize host↔device latency while keeping admission latency bounded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openhush_tpu.models.whisper import decoding, model as whisper
+from openhush_tpu.models.whisper.config import WhisperConfig
+from openhush_tpu.text.tokenizer import WhisperTokenizer
+
+NEG_INF = decoding.NEG_INF
+
+
+class SlotState(NamedTuple):
+    cache_k: jax.Array
+    cache_v: jax.Array
+    xkv_k: jax.Array
+    xkv_v: jax.Array
+    tokens: jax.Array        # [B, n_ctx] int32
+    pos: jax.Array           # [B] int32 — next cache write offset
+    prompt_len: jax.Array    # [B] int32
+    length: jax.Array        # [B] int32 — generated tokens so far
+    sum_logprob: jax.Array   # [B] f32
+    no_speech: jax.Array     # [B] f32
+    last_logits: jax.Array   # [B, V] f32
+    active: jax.Array        # [B] bool
+    finished: jax.Array      # [B] bool
+    ts_prev: jax.Array       # [B] bool
+    ts_prevprev: jax.Array   # [B] bool
+    ts_floor: jax.Array      # [B] int32
+    use_ts: jax.Array        # [B] bool — per-session timestamps flag
+
+
+def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
+               max_len: Optional[int] = None) -> SlotState:
+    B = n_slots
+    L, H = cfg.n_text_layer, cfg.n_text_head
+    Dh = cfg.n_text_state // H
+    T = max_len or cfg.n_text_ctx
+    sp = WhisperTokenizer(cfg.n_langs).special
+    return SlotState(
+        cache_k=jnp.zeros((L, B, H, T, Dh), dtype),
+        cache_v=jnp.zeros((L, B, H, T, Dh), dtype),
+        xkv_k=jnp.zeros((L, B, H, cfg.n_audio_ctx, Dh), dtype),
+        xkv_v=jnp.zeros((L, B, H, cfg.n_audio_ctx, Dh), dtype),
+        tokens=jnp.full((B, T), sp.eot, jnp.int32),
+        pos=jnp.zeros((B,), jnp.int32),
+        prompt_len=jnp.zeros((B,), jnp.int32),
+        length=jnp.zeros((B,), jnp.int32),
+        sum_logprob=jnp.zeros((B,), jnp.float32),
+        no_speech=jnp.zeros((B,), jnp.float32),
+        last_logits=jnp.full((B, cfg.n_vocab_padded), NEG_INF, jnp.float32),
+        active=jnp.zeros((B,), bool),
+        finished=jnp.zeros((B,), bool),
+        ts_prev=jnp.zeros((B,), bool),
+        ts_prevprev=jnp.zeros((B,), bool),
+        ts_floor=jnp.full((B,), sp.timestamp_begin, jnp.int32),
+        use_ts=jnp.zeros((B,), bool),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
+                   donate_argnames=("state",))
+def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
+          new_xk: jax.Array, new_xv: jax.Array, prompt: jax.Array,
+          use_timestamps: jax.Array, *, prompt_len: int) -> SlotState:
+    """Install a session into `slot` and prefill its prompt.
+
+    new_xk/new_xv: [L, 1, H, 1500, Dh]; prompt: [1, prompt_len]."""
+    sp = WhisperTokenizer(cfg.n_langs).special
+    L, B = state.cache_k.shape[:2]
+    T = state.tokens.shape[1]
+
+    upd = lambda buf, val: jax.lax.dynamic_update_slice(
+        buf, val.astype(buf.dtype),
+        (0, slot) + (0,) * (buf.ndim - 2))
+    xkv_k = upd(state.xkv_k, new_xk)
+    xkv_v = upd(state.xkv_v, new_xv)
+    zero_row = jnp.zeros_like(
+        jax.lax.dynamic_slice_in_dim(state.cache_k, 0, 1, axis=1))
+    cache_k = jax.lax.dynamic_update_slice(
+        state.cache_k, zero_row, (0, slot, 0, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        state.cache_v, zero_row, (0, slot, 0, 0, 0))
+
+    # Prefill this row alone.
+    row_cache = whisper.KVCache(
+        jax.lax.dynamic_slice_in_dim(cache_k, slot, 1, axis=1),
+        jax.lax.dynamic_slice_in_dim(cache_v, slot, 1, axis=1))
+    row_xkv = whisper.KVCache(new_xk.astype(state.xkv_k.dtype),
+                              new_xv.astype(state.xkv_v.dtype))
+    logits, row_cache = whisper.decode(cfg, params, prompt, jnp.int32(0),
+                                       row_cache, row_xkv)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, row_cache.k,
+                                           (0, slot, 0, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, row_cache.v,
+                                           (0, slot, 0, 0, 0))
+    sot_probs = jax.nn.softmax(logits[:, 0].astype(jnp.float32), -1)
+
+    tokens_row = jnp.full((1, T), sp.eot, jnp.int32)
+    tokens_row = jax.lax.dynamic_update_slice(tokens_row, prompt, (0, 0))
+    set1 = lambda a, v: jax.lax.dynamic_update_slice(
+        a, jnp.asarray(v).reshape((1,) + a.shape[1:]), (slot,) + (0,) * (a.ndim - 1))
+    return state._replace(
+        cache_k=cache_k, cache_v=cache_v, xkv_k=xkv_k, xkv_v=xkv_v,
+        tokens=jax.lax.dynamic_update_slice(state.tokens, tokens_row,
+                                            (slot, 0)),
+        pos=set1(state.pos, jnp.int32(prompt_len)),
+        prompt_len=set1(state.prompt_len, jnp.int32(prompt_len)),
+        length=set1(state.length, jnp.int32(0)),
+        sum_logprob=set1(state.sum_logprob, jnp.float32(0)),
+        no_speech=set1(state.no_speech, sot_probs[0, sp.no_speech]),
+        last_logits=set1(state.last_logits,
+                         logits[0, -1].astype(jnp.float32)),
+        active=set1(state.active, True),
+        finished=set1(state.finished, False),
+        ts_prev=set1(state.ts_prev, False),
+        ts_prevprev=set1(state.ts_prevprev, False),
+        ts_floor=set1(state.ts_floor, jnp.int32(sp.timestamp_begin)),
+        use_ts=set1(state.use_ts, use_timestamps),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "inner_steps",
+                                             "max_initial_index",
+                                             "blank_token"),
+                   donate_argnames=("state",))
+def step(cfg: WhisperConfig, params, state: SlotState,
+         suppress_mask: jax.Array, *, inner_steps: int = 8,
+         max_initial_index: int = 50, blank_token: int = 220) -> SlotState:
+    """Advance every active unfinished slot by `inner_steps` greedy tokens."""
+    sp = WhisperTokenizer(cfg.n_langs).special
+    sp_consts = (sp.timestamp_begin, sp.eot)
+    eot = sp.eot
+    B, T = state.tokens.shape
+    V = state.last_logits.shape[1]
+    ids = jnp.arange(V)
+
+    def one_step(state, _):
+        lg = jnp.where(suppress_mask[None, :], NEG_INF, state.last_logits)
+        first = state.length == 0
+        blank_mask = (ids == blank_token) | (ids == eot)
+        lg = jnp.where(first[:, None] & blank_mask[None, :], NEG_INF, lg)
+
+        ts_state = (state.ts_prev, state.ts_prevprev, state.ts_floor)
+        # step=1 disables the filter's *global* first-step branch; the
+        # per-row equivalent (continuous batching has per-row clocks) is
+        # applied right after.
+        lg_ts = decoding._timestamp_filter(
+            lg, sp_consts, ts_state, jnp.int32(1), max_initial_index)
+        is_ts = ids[None, :] >= sp.timestamp_begin
+        init_block = (~is_ts) | (ids[None, :] >
+                                 sp.timestamp_begin + max_initial_index)
+        lg_ts = jnp.where(first[:, None] & init_block, NEG_INF, lg_ts)
+        lg = jnp.where(state.use_ts[:, None], lg_ts, lg)
+        no_ts_mask = state.use_ts[:, None] | ~is_ts
+        lg = jnp.where(no_ts_mask, lg, NEG_INF)  # suppress ts if disabled
+
+        logprobs = jax.nn.log_softmax(lg, axis=-1)
+        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        live = state.active & ~state.finished
+        nxt = jnp.where(live, nxt, eot)
+
+        tok_lp = jnp.take_along_axis(logprobs, nxt[:, None], -1)[:, 0]
+        sum_lp = state.sum_logprob + jnp.where(live, tok_lp, 0.0)
+        length = state.length + jnp.where(live, 1, 0)
+
+        new_ts = decoding._update_ts_state(ts_state, nxt, sp_consts)
+        keep = lambda new, old: jnp.where(live, new, old)
+        ts_prev = keep(new_ts[0], state.ts_prev)
+        ts_prevprev = keep(new_ts[1], state.ts_prevprev)
+        ts_floor = keep(new_ts[2], state.ts_floor)
+
+        hit_eot = nxt == eot
+        out_of_room = state.pos >= T - 1
+        finished = state.finished | (live & (hit_eot | out_of_room))
+
+        # Write token at per-row pos (only live rows advance).
+        tokens = jax.vmap(
+            lambda row, t, p: jax.lax.dynamic_update_slice(row, t[None],
+                                                           (p,)))(
+            state.tokens, nxt, state.pos)
+        tokens = jnp.where(live[:, None], tokens, state.tokens)
+
+        cache = whisper.KVCache(state.cache_k, state.cache_v)
+        xkv = whisper.KVCache(state.xkv_k, state.xkv_v)
+        logits, cache = whisper.decode(cfg, params, nxt[:, None], state.pos,
+                                       cache, xkv)
+        pos = state.pos + jnp.where(live & ~finished, 1, 0)
+
+        return state._replace(
+            cache_k=cache.k, cache_v=cache.v, tokens=tokens, pos=pos,
+            length=length, sum_logprob=sum_lp,
+            last_logits=logits[:, -1].astype(jnp.float32),
+            finished=finished, ts_prev=ts_prev, ts_prevprev=ts_prevprev,
+            ts_floor=ts_floor), None
+
+    state, _ = jax.lax.scan(one_step, state, None, length=inner_steps)
+    return state
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def release(state: SlotState, slot_mask: jax.Array) -> SlotState:
+    """Mark slots in slot_mask [B] bool as free."""
+    return state._replace(active=state.active & ~slot_mask,
+                          finished=state.finished & ~slot_mask)

@@ -1,0 +1,260 @@
+"""Engine server: session-multiplexed continuous batching over one device.
+
+Replaces the reference's single worker thread + mpsc queue
+(src/queue/worker.rs:255-267) with a persistent device loop: sessions submit
+30 s (or shorter, padded) windows; admission encodes the window and installs
+it into a free batch slot; one compiled step advances every active slot by
+`inner_steps` tokens; finished slots are harvested into per-session queues.
+Partial results (`peek`) read the token buffer mid-decode — the mechanism
+behind sub-second first-partial latency.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openhush_tpu.models.whisper import decoding, model as whisper
+from openhush_tpu.models.whisper.config import WhisperConfig
+from openhush_tpu.ops import frontend_pallas, mel as mel_ops
+from openhush_tpu.runtime import batcher
+from openhush_tpu.text.tokenizer import WhisperTokenizer
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class WindowResult:
+    session_id: int
+    window_id: int
+    tokens: list[int]             # content tokens (prompt stripped, pre-EOT)
+    text: str
+    avg_logprob: float
+    no_speech_prob: float
+    first_token_latency: float    # seconds from submit to first content token
+    latency: float                # seconds from submit to completion
+
+
+@dataclasses.dataclass
+class _Pending:
+    session_id: int
+    window_id: int
+    audio: np.ndarray
+    language: str
+    task: str
+    timestamps: bool
+    submitted_at: float
+
+
+@dataclasses.dataclass
+class _SlotInfo:
+    session_id: int
+    window_id: int
+    prompt_len: int
+    submitted_at: float
+    admitted_at: float
+    first_token_at: Optional[float] = None
+
+
+class EngineServer:
+    """One model, one device loop, many sessions."""
+
+    def __init__(self, cfg: WhisperConfig, params, *, n_slots: int = 8,
+                 inner_steps: int = 8, dtype=jnp.bfloat16,
+                 tokenizer: Optional[WhisperTokenizer] = None):
+        self.cfg = cfg
+        self.params = params
+        self.n_slots = n_slots
+        self.inner_steps = inner_steps
+        self.tokenizer = tokenizer or WhisperTokenizer(cfg.n_langs)
+        self.state = batcher.init_state(cfg, n_slots, dtype=dtype)
+        self._suppress = jnp.asarray(decoding.build_suppress_mask(
+            self.tokenizer, cfg, decoding.DecodingOptions()))
+        blank = self.tokenizer.encode(" ")
+        self._blank_token = int(blank[0]) if blank else 220
+        self._encode = jax.jit(lambda p, m: whisper.encode(cfg, p, m))
+        self._xkv = jax.jit(lambda p, f: whisper.compute_cross_kv(cfg, p, f))
+
+        self._pending: queue.Queue[_Pending] = queue.Queue()
+        self._slots: dict[int, _SlotInfo] = {}
+        self._results: dict[int, queue.Queue] = {}
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._seq = 0
+
+    # -- public API -----------------------------------------------------------
+
+    def open_session(self) -> int:
+        with self._lock:
+            self._seq += 1
+            sid = self._seq
+            self._results[sid] = queue.Queue()
+        return sid
+
+    def close_session(self, session_id: int) -> None:
+        with self._lock:
+            self._results.pop(session_id, None)
+
+    def submit_window(self, session_id: int, audio: np.ndarray,
+                      window_id: int = 0, language: str = "en",
+                      task: str = "transcribe",
+                      timestamps: bool = True) -> None:
+        """Queue one ≤30 s audio window for transcription."""
+        self._pending.put(_Pending(session_id, window_id,
+                                   np.asarray(audio, np.float32), language,
+                                   task, timestamps, time.monotonic()))
+
+    def poll(self, session_id: int, timeout: Optional[float] = None
+             ) -> Optional[WindowResult]:
+        q = self._results.get(session_id)
+        if q is None:
+            return None
+        try:
+            return q.get(timeout=timeout) if timeout else q.get_nowait()
+        except queue.Empty:
+            return None
+
+    def peek(self, session_id: int) -> Optional[list[int]]:
+        """Partial content tokens of the session's in-flight window."""
+        with self._lock:
+            slot = next((s for s, info in self._slots.items()
+                         if info.session_id == session_id), None)
+            if slot is None:
+                return None
+            info = self._slots[slot]
+        tokens = np.asarray(self.state.tokens[slot])
+        pos = int(np.asarray(self.state.pos[slot]))
+        return [int(t) for t in tokens[info.prompt_len:pos]
+                if t != self.tokenizer.special.eot]
+
+    def queue_depth(self) -> int:
+        return self._pending.qsize() + len(self._slots)
+
+    # -- device loop ------------------------------------------------------------
+
+    def start(self) -> None:
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="engine-server")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def _loop(self) -> None:
+        while self._running:
+            if not self.run_once():
+                time.sleep(0.002)
+
+    def run_once(self) -> bool:
+        """One scheduler turn: admit → step → harvest. Returns True if any
+        work happened (used for idle backoff)."""
+        worked = self._admit_pending()
+        with self._lock:
+            any_active = bool(self._slots)
+        if any_active:
+            self.state = batcher.step(
+                self.cfg, self.params, self.state, self._suppress,
+                inner_steps=self.inner_steps,
+                blank_token=self._blank_token)
+            self._harvest()
+            worked = True
+        return worked
+
+    # -- internals ---------------------------------------------------------------
+
+    def _free_slots(self) -> list[int]:
+        with self._lock:
+            return [i for i in range(self.n_slots) if i not in self._slots]
+
+    def _admit_pending(self) -> bool:
+        admitted = False
+        for slot in self._free_slots():
+            try:
+                job = self._pending.get_nowait()
+            except queue.Empty:
+                break
+            self._admit(slot, job)
+            admitted = True
+        return admitted
+
+    def _admit(self, slot: int, job: _Pending) -> None:
+        tok = self.tokenizer
+        window = np.zeros(mel_ops.N_SAMPLES, np.float32)
+        n = min(len(job.audio), mel_ops.N_SAMPLES)
+        window[:n] = job.audio[:n]
+        mel = frontend_pallas.log_mel(jnp.asarray(window),
+                                      n_mels=self.cfg.n_mels)[None]
+        feats = self._encode(self.params, mel.astype(self.state.xkv_k.dtype))
+        xkv = self._xkv(self.params, feats)
+
+        language = job.language
+        if language in ("auto", "", None):
+            langs, _ = decoding.detect_language(self.cfg, self.params, xkv,
+                                                tok)
+            language = langs[0]
+        prompt = tok.sot_sequence(language, job.task,
+                                  timestamps=job.timestamps)
+        self.state = batcher.admit(
+            self.cfg, self.params, self.state, jnp.int32(slot), xkv.k, xkv.v,
+            jnp.asarray([prompt], jnp.int32), jnp.asarray(job.timestamps),
+            prompt_len=len(prompt))
+        with self._lock:
+            self._slots[slot] = _SlotInfo(
+                job.session_id, job.window_id, len(prompt),
+                job.submitted_at, time.monotonic())
+        log.debug("admitted session %d window %d into slot %d",
+                  job.session_id, job.window_id, slot)
+
+    def _harvest(self) -> None:
+        finished = np.asarray(self.state.finished)
+        if not finished.any():
+            # First-token latency bookkeeping for live partials.
+            with self._lock:
+                for slot, info in self._slots.items():
+                    if info.first_token_at is None:
+                        length = int(np.asarray(self.state.length[slot]))
+                        if length > 0:
+                            info.first_token_at = time.monotonic()
+            return
+        tokens = np.asarray(self.state.tokens)
+        pos = np.asarray(self.state.pos)
+        sum_lp = np.asarray(self.state.sum_logprob)
+        lengths = np.asarray(self.state.length)
+        no_speech = np.asarray(self.state.no_speech)
+        eot = self.tokenizer.special.eot
+        done_mask = np.zeros(self.n_slots, bool)
+        now = time.monotonic()
+        with self._lock:
+            done = [(s, i) for s, i in self._slots.items() if finished[s]]
+            for slot, info in done:
+                content = [int(t) for t in
+                           tokens[slot, info.prompt_len:pos[slot]]
+                           if t != eot]
+                result = WindowResult(
+                    session_id=info.session_id, window_id=info.window_id,
+                    tokens=content,
+                    text=self.tokenizer.decode(content),
+                    avg_logprob=float(sum_lp[slot])
+                    / max(int(lengths[slot]), 1),
+                    no_speech_prob=float(no_speech[slot]),
+                    first_token_latency=(info.first_token_at
+                                         or now) - info.submitted_at,
+                    latency=now - info.submitted_at)
+                q = self._results.get(info.session_id)
+                if q is not None:
+                    q.put(result)
+                del self._slots[slot]
+                done_mask[slot] = True
+        self.state = batcher.release(self.state, jnp.asarray(done_mask))

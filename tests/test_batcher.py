@@ -1,0 +1,183 @@
+"""Continuous batching: per-row decode positions, admission/eviction,
+batcher-vs-oneshot equivalence, and the engine server loop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openhush_tpu.models.whisper import decoding, model as whisper
+from openhush_tpu.models.whisper.config import get_config
+from openhush_tpu.ops import mel as mel_ops
+from openhush_tpu.runtime import batcher
+from openhush_tpu.runtime.server import EngineServer
+from openhush_tpu.text.tokenizer import WhisperTokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("test")
+    params = whisper.init_params(cfg, jax.random.PRNGKey(42))
+    tok = WhisperTokenizer(cfg.n_langs)
+    return cfg, params, tok
+
+
+def _xkv_for(cfg, params, seed):
+    rng = np.random.default_rng(seed)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.5
+    feats = whisper.encode(cfg, params, mel)
+    return whisper.compute_cross_kv(cfg, params, feats)
+
+
+def test_decode_vector_pos_matches_scalar(setup):
+    """Per-row-position decode must equal scalar-position decode when all
+    rows share the position — the correctness core of continuous batching."""
+    cfg, params, _ = setup
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.5
+    feats = whisper.encode(cfg, params, mel)
+    xkv = whisper.compute_cross_kv(cfg, params, feats)
+    tokens = rng.integers(0, 1000, (2, 1)).astype(np.int32)
+
+    c1 = whisper.init_kv_cache(cfg, 2)
+    l1, c1 = whisper.decode(cfg, params, tokens, jnp.int32(0), c1, xkv)
+    c2 = whisper.init_kv_cache(cfg, 2)
+    l2, c2 = whisper.decode(cfg, params, tokens,
+                            jnp.zeros(2, jnp.int32), c2, xkv)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(c1.k), np.asarray(c2.k), atol=1e-5)
+
+    # Different per-row positions: row 1 shifted must match its own run.
+    t2 = rng.integers(0, 1000, (2, 1)).astype(np.int32)
+    l3, c3 = whisper.decode(cfg, params, t2,
+                            jnp.asarray([1, 3], jnp.int32), c2, xkv)
+    # Row 0 independently at pos 1:
+    c_solo = whisper.init_kv_cache(cfg, 1)
+    xkv0 = whisper.KVCache(xkv.k[:, :1], xkv.v[:, :1])
+    _, c_solo = whisper.decode(cfg, params, tokens[:1], jnp.int32(0),
+                               c_solo, xkv0)
+    l_solo, _ = whisper.decode(cfg, params, t2[:1], jnp.int32(1), c_solo,
+                               xkv0)
+    np.testing.assert_allclose(np.asarray(l3[0]), np.asarray(l_solo[0]),
+                               atol=1e-4)
+
+
+def test_batcher_matches_oneshot_greedy(setup):
+    """A slot decoded via admit+step must produce the same tokens as the
+    one-shot greedy loop on the same audio."""
+    cfg, params, tok = setup
+    xkv = _xkv_for(cfg, params, seed=7)
+
+    opts = decoding.DecodingOptions(max_new_tokens=24)
+    ref = decoding.decode_greedy(cfg, params, xkv, tok, opts,
+                                 languages=["en"])
+    sp = tok.special
+    ref_content = []
+    for t in ref.tokens[0, ref.prompt_len:]:
+        if t == sp.eot:
+            break
+        ref_content.append(int(t))
+
+    state = batcher.init_state(cfg, n_slots=4, dtype=jnp.float32)
+    prompt = tok.sot_sequence("en", "transcribe")
+    state = batcher.admit(cfg, params, state, jnp.int32(2), xkv.k, xkv.v,
+                          jnp.asarray([prompt], jnp.int32),
+                          jnp.asarray(True), prompt_len=len(prompt))
+    suppress = jnp.asarray(decoding.build_suppress_mask(
+        tok, cfg, decoding.DecodingOptions()))
+    for _ in range(6):
+        state = batcher.step(cfg, params, state, suppress, inner_steps=8,
+                             blank_token=tok.encode(" ")[0])
+        if bool(np.asarray(state.finished[2])) :
+            break
+    toks = np.asarray(state.tokens[2])
+    pos = int(np.asarray(state.pos[2]))
+    got = [int(t) for t in toks[len(prompt):pos] if t != sp.eot]
+    assert got[:len(ref_content)] == ref_content[:len(got)]
+    assert len(got) > 0
+
+
+def test_batcher_concurrent_slots_independent(setup):
+    """Two sessions admitted at different times must not affect each other."""
+    cfg, params, tok = setup
+    xkv_a = _xkv_for(cfg, params, seed=1)
+    xkv_b = _xkv_for(cfg, params, seed=2)
+    suppress = jnp.asarray(decoding.build_suppress_mask(
+        tok, cfg, decoding.DecodingOptions()))
+    prompt = tok.sot_sequence("en", "transcribe")
+    p = jnp.asarray([prompt], jnp.int32)
+
+    def run(mode):
+        state = batcher.init_state(cfg, n_slots=2, dtype=jnp.float32)
+        state = batcher.admit(cfg, params, state, jnp.int32(0), xkv_a.k,
+                              xkv_a.v, p, jnp.asarray(True),
+                              prompt_len=len(prompt))
+        if mode == "together":
+            state = batcher.admit(cfg, params, state, jnp.int32(1), xkv_b.k,
+                                  xkv_b.v, p, jnp.asarray(True),
+                                  prompt_len=len(prompt))
+        state = batcher.step(cfg, params, state, suppress, inner_steps=4,
+                             blank_token=tok.encode(" ")[0])
+        if mode == "staggered":
+            state = batcher.admit(cfg, params, state, jnp.int32(1), xkv_b.k,
+                                  xkv_b.v, p, jnp.asarray(True),
+                                  prompt_len=len(prompt))
+        for _ in range(2):
+            state = batcher.step(cfg, params, state, suppress, inner_steps=4,
+                                 blank_token=tok.encode(" ")[0])
+        return np.asarray(state.tokens)
+
+    together = run("together")
+    staggered = run("staggered")
+    # Slot 0 (same audio, same schedule) identical in both runs.
+    np.testing.assert_array_equal(together[0], staggered[0])
+    # Slot 1 decoded fewer steps when staggered but its prefix must match.
+    t_b = together[1][len(prompt):]
+    s_b = staggered[1][len(prompt):]
+    n = 4  # staggered slot1 ran 8 steps vs 12 — compare first 4 safely
+    np.testing.assert_array_equal(t_b[:n], s_b[:n])
+
+
+def test_engine_server_end_to_end(setup):
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                          dtype=jnp.float32, tokenizer=tok)
+    rng = np.random.default_rng(3)
+    sid = server.open_session()
+    sid2 = server.open_session()
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    server.submit_window(sid, audio, window_id=0)
+    server.submit_window(sid2, audio, window_id=0)
+    for _ in range(80):
+        if not server.run_once():
+            break
+        r1 = server._results[sid].qsize()
+        r2 = server._results[sid2].qsize()
+        if r1 and r2:
+            break
+    res1 = server.poll(sid)
+    res2 = server.poll(sid2)
+    assert res1 is not None and res2 is not None
+    # Same audio, same model → same tokens regardless of slot.
+    assert res1.tokens == res2.tokens
+    assert res1.latency > 0
+    assert 0.0 <= res1.no_speech_prob <= 1.0
+    server.close_session(sid)
+    server.close_session(sid2)
+
+
+def test_engine_server_threaded(setup):
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                          dtype=jnp.float32, tokenizer=tok)
+    server.start()
+    try:
+        sid = server.open_session()
+        rng = np.random.default_rng(4)
+        audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+        server.submit_window(sid, audio)
+        res = server.poll(sid, timeout=120)
+        assert res is not None
+        assert isinstance(res.text, str)
+    finally:
+        server.stop()
