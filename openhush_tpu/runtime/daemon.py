@@ -1,0 +1,477 @@
+"""Daemon orchestrator: state machine, chunked streaming, IPC, PID lifecycle.
+
+The TPU-native counterpart of src/daemon.rs (2,719 LoC): always-on capture
+into the ring buffer, push-to-talk/toggle/continuous modes, auto-tuned chunk
+timer, VAD-gated segmentation, results → tracker (ordering + dedup) → output
+pipeline. The tokio::select! event loop (daemon.rs:1623-2234) becomes a
+polling loop over thread-safe queues; the 1-thread whisper worker becomes the
+continuous-batching EngineServer.
+
+States (parity: daemon.rs:739-762): IDLE / RECORDING / CONTINUOUS.
+PID lifecycle (parity: daemon.rs:2269-2355,2509-2588): O_EXCL create, stale
+cleanup with /proc existence + cmdline verification.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import json
+import logging
+import os
+import signal
+import sys
+import threading
+import time
+from typing import Callable, Optional
+
+import numpy as np
+
+from openhush_tpu import __version__
+from openhush_tpu.models import vad as vad_mod
+from openhush_tpu.runtime import ipc
+from openhush_tpu.runtime.ring_buffer import RingBuffer
+from openhush_tpu.runtime.tracker import ChunkResult, TranscriptionTracker
+
+log = logging.getLogger(__name__)
+
+
+class DaemonState(enum.Enum):
+    IDLE = "idle"
+    RECORDING = "recording"
+    CONTINUOUS = "continuous"
+
+
+def pid_file_path() -> str:
+    runtime = os.environ.get("XDG_RUNTIME_DIR", "/tmp")
+    return os.path.join(runtime, "openhush.pid")
+
+
+def write_pid_file(path: Optional[str] = None) -> None:
+    """O_EXCL create with stale-PID cleanup (daemon.rs:2269-2355)."""
+    path = path or pid_file_path()
+    while True:
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    old_pid = int(f.read().strip() or "0")
+            except (ValueError, OSError):
+                old_pid = 0
+            if old_pid and _pid_is_openhush(old_pid):
+                raise RuntimeError(
+                    f"Daemon already running (pid {old_pid})")
+            log.warning("Removing stale PID file (pid %d gone)", old_pid)
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+
+
+def _pid_is_openhush(pid: int) -> bool:
+    """Verify the process exists AND is ours before refusing/killing —
+    parity with the /proc/<pid>/exe check (daemon.rs:2509-2588)."""
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmdline = f.read().decode(errors="replace")
+    except OSError:
+        return False
+    return "openhush" in cmdline
+
+
+def remove_pid_file(path: Optional[str] = None) -> None:
+    try:
+        os.unlink(path or pid_file_path())
+    except FileNotFoundError:
+        pass
+
+
+@dataclasses.dataclass
+class DaemonStatus:
+    running: bool
+    recording: bool
+    state: str
+    model: str
+    queue_depth: int
+    version: str = __version__
+
+
+class Daemon:
+    """Composable daemon: inject audio source / engine server / output."""
+
+    def __init__(self, config, server, audio_source,
+                 output: Optional[Callable[[str], None]] = None,
+                 ipc_path: Optional[str] = None,
+                 vad_engine: Optional[vad_mod.VadEngine] = None,
+                 chunk_interval: Optional[float] = None):
+        self.config = config
+        self.server = server
+        self.source = audio_source
+        self.output = output or (lambda text: print(text, flush=True))
+        self.ring = RingBuffer(duration_secs=60.0)
+        self.tracker = TranscriptionTracker(streaming=True)
+        self.vad_engine = vad_engine or vad_mod.VadEngine(
+            threshold=config.vad.threshold)
+        self.vad_state = vad_mod.VadState(vad_mod.VadStateConfig(
+            threshold=config.vad.threshold,
+            min_silence_ms=config.vad.min_silence_ms,
+            min_speech_ms=config.vad.min_speech_ms,
+            speech_pad_ms=config.vad.pad_ms))
+        self.chunk_interval = chunk_interval or (
+            config.queue.chunk_interval_secs
+            if config.queue.chunk_interval_secs > 0 else 5.0)
+
+        self.state = DaemonState.IDLE
+        self._session_id: Optional[int] = None
+        self._sequence = 0
+        self._chunk_id = 0
+        self._chunk_mark = 0         # ring position of last submitted chunk
+        self._vad_pos = 0
+        self._stop_event = threading.Event()
+        self._lock = threading.Lock()
+        self._ipc = ipc.IpcServer(self._handle_ipc, path=ipc_path)
+        self._results_flushed = threading.Event()
+
+    # -- recording control (parity: daemon.rs:1274-1308) ----------------------
+
+    def start_recording(self) -> bool:
+        with self._lock:
+            if self.state != DaemonState.IDLE:
+                return False
+            self.state = DaemonState.RECORDING
+            self._sequence += 1
+            self._chunk_id = 0
+            self._chunk_mark = self.ring.current_position()
+            self.tracker.reset_dedup()
+            self._session_id = self.server.open_session()
+            self._last_chunk_time = time.monotonic()
+        log.info("Recording started (seq %d)", self._sequence)
+        return True
+
+    def stop_recording(self) -> bool:
+        with self._lock:
+            if self.state == DaemonState.IDLE:
+                return False
+            state = self.state
+            self.state = DaemonState.IDLE
+        if state == DaemonState.RECORDING:
+            self._submit_chunk(final=True)
+        log.info("Recording stopped (seq %d)", self._sequence)
+        return True
+
+    def toggle_recording(self) -> bool:
+        if self.state == DaemonState.IDLE:
+            return self.start_recording()
+        return self.stop_recording()
+
+    def start_continuous(self) -> bool:
+        with self._lock:
+            if self.state != DaemonState.IDLE:
+                return False
+            self.state = DaemonState.CONTINUOUS
+            self._sequence += 1
+            self._chunk_id = 0
+            self._vad_pos = self.ring.current_position()
+            self._vad_ring_base = self._vad_pos
+            self.vad_state.reset()
+            self.vad_engine.reset()
+            self.tracker.reset_dedup()
+            self._session_id = self.server.open_session()
+        log.info("Continuous dictation started (seq %d)", self._sequence)
+        return True
+
+    # -- chunk submission -------------------------------------------------------
+
+    def _submit_chunk(self, final: bool = False) -> None:
+        now = self.ring.current_position()
+        audio = self.ring.extract_range(self._chunk_mark, now)
+        self._chunk_mark = now
+        min_samples = int(0.2 * 16000)
+        if len(audio) < min_samples and not final:
+            return
+        if len(audio) < min_samples:
+            audio = np.pad(audio, (0, min_samples - len(audio)))
+        accepted = self.tracker.add_pending(
+            self._sequence, self._chunk_id,
+            max_pending=self.config.queue.max_pending,
+            strategy=self.config.queue.backpressure)
+        if accepted:
+            self.server.submit_window(
+                self._session_id, audio,
+                window_id=self._pack(self._sequence, self._chunk_id,
+                                     final),
+                language=self.config.transcription.language,
+                task=("translate"
+                      if self.config.transcription.translate
+                      else "transcribe"),
+                timestamps=False)
+        self._chunk_id += 1
+
+    @staticmethod
+    def _pack(seq: int, chunk: int, final: bool) -> int:
+        return (seq << 32) | (chunk << 1) | int(final)
+
+    @staticmethod
+    def _unpack(window_id: int) -> tuple[int, int, bool]:
+        return window_id >> 32, (window_id & 0xFFFFFFFF) >> 1, \
+            bool(window_id & 1)
+
+    # -- main loop -----------------------------------------------------------------
+
+    def run(self, max_runtime: Optional[float] = None) -> None:
+        write_pid_file()
+        self._ipc.start()
+        self._api = None
+        if getattr(self.config.api, "enabled", False):
+            from openhush_tpu.api.server import ApiServer
+            self._api = ApiServer(
+                host=self.config.api.host, port=self.config.api.port,
+                api_key_hash=self.config.api.api_key_hash,
+                cors_origins=self.config.api.cors_origins,
+                status_fn=lambda: dataclasses.asdict(self.status()),
+                command_fn=self._api_command)
+            try:
+                self._api.start()
+                log.info("REST API on %s:%d", self.config.api.host,
+                         self._api.port)
+            except OSError as e:
+                log.warning("REST API failed to start: %s", e)
+                self._api = None
+        self.source.start(self._on_audio)
+        if hasattr(self.server, "start"):
+            self.server.start()
+        started = time.monotonic()
+        self._last_chunk_time = started
+        last_vad_tick = started
+        try:
+            while not self._stop_event.is_set():
+                now = time.monotonic()
+                if max_runtime and now - started > max_runtime:
+                    break
+                if self.state == DaemonState.RECORDING and \
+                        now - self._last_chunk_time >= self.chunk_interval:
+                    self._submit_chunk()
+                    self._last_chunk_time = now
+                if self.state == DaemonState.CONTINUOUS and \
+                        now - last_vad_tick >= 0.032:
+                    self._vad_tick()
+                    last_vad_tick = now
+                self._drain_results()
+                time.sleep(0.005)
+        finally:
+            self.shutdown()
+
+    def shutdown(self) -> None:
+        self._stop_event.set()
+        try:
+            self.source.stop()
+        except Exception:
+            pass
+        if hasattr(self.server, "stop"):
+            self.server.stop()
+        if getattr(self, "_api", None) is not None:
+            self._api.stop()
+        self._ipc.stop()
+        remove_pid_file()
+
+    def _api_command(self, action: str) -> bool:
+        return {"start": self.start_recording,
+                "stop": self.stop_recording,
+                "toggle": self.toggle_recording}[action]()
+
+    def _on_audio(self, samples: np.ndarray) -> None:
+        self.ring.push(samples)
+
+    # -- VAD continuous mode (parity: daemon.rs:1955-2079) -------------------------
+
+    def _vad_tick(self) -> None:
+        now = self.ring.current_position()
+        chunk = self.ring.extract_range(self._vad_pos, now)
+        if len(chunk) < vad_mod.CHUNK_SIZE:
+            return
+        self._vad_pos = now
+        # Feed complete 512-sample chunks through the VAD.
+        for off in range(0, len(chunk) - vad_mod.CHUNK_SIZE + 1,
+                         vad_mod.CHUNK_SIZE):
+            result = self.vad_engine.process(
+                chunk[off:off + vad_mod.CHUNK_SIZE])
+            seg = self.vad_state.update(result, vad_mod.CHUNK_SIZE)
+            if seg is not None:
+                self._submit_vad_segment(seg, now)
+
+    def _submit_vad_segment(self, seg, now: int) -> None:
+        pad = int(self.config.vad.pad_ms / 1000 * 16000)
+        # VadState positions are samples since start_continuous; the ring
+        # position at that moment anchors them to absolute ring offsets.
+        base = self._vad_ring_base
+        start = max(base, base + seg.start - pad)
+        end = min(now, base + seg.end + pad)
+        audio = self.ring.extract_range(start, end)
+        if len(audio) == 0:
+            return
+        if self.tracker.add_pending(
+                self._sequence, self._chunk_id,
+                max_pending=self.config.queue.max_pending,
+                strategy=self.config.queue.backpressure):
+            self.server.submit_window(
+                self._session_id, audio,
+                window_id=self._pack(self._sequence, self._chunk_id, False),
+                language=self.config.transcription.language,
+                timestamps=False)
+        self._chunk_id += 1
+
+    # -- results → output -----------------------------------------------------------
+
+    def _drain_results(self) -> None:
+        if self._session_id is None:
+            return
+        while True:
+            res = self.server.poll(self._session_id)
+            if res is None:
+                break
+            seq, chunk, final = self._unpack(res.window_id)
+            self.tracker.add_result(ChunkResult(
+                text=res.text.strip(), sequence_id=seq, chunk_id=chunk,
+                is_final=final, duration_secs=0.0))
+        for ready in self.tracker.take_ready():
+            if ready.text:
+                self.output(ready.text)
+
+    # -- IPC (wire parity: src/ipc/mod.rs:41-110) -------------------------------------
+
+    def status(self) -> DaemonStatus:
+        return DaemonStatus(
+            running=True,
+            recording=self.state != DaemonState.IDLE,
+            state=self.state.value,
+            model=self.config.transcription.effective_model(),
+            queue_depth=self.tracker.pending_count)
+
+    def _handle_ipc(self, request: dict) -> dict:
+        cmd = request.get("cmd", "")
+        if cmd == "status":
+            s = self.status()
+            return {"ok": True, "running": True, "recording": s.recording,
+                    "model_loaded": True, "version": s.version,
+                    "state": s.state, "queue_depth": s.queue_depth}
+        if cmd == "stop":
+            self._stop_event.set()
+            return {"ok": True}
+        if cmd == "start_recording":
+            return {"ok": self.start_recording()}
+        if cmd == "stop_recording":
+            return {"ok": self.stop_recording()}
+        if cmd == "toggle_recording":
+            return {"ok": self.toggle_recording()}
+        if cmd == "start_continuous":
+            return {"ok": self.start_continuous()}
+        if cmd == "queue_depth":
+            return {"ok": True, "queue_depth": self.tracker.pending_count}
+        if cmd == "version":
+            return {"ok": True, "version": __version__}
+        if cmd in ("load_model", "unload_model"):
+            return {"ok": True}  # engine server keeps the model resident
+        return {"ok": False, "error": f"unknown command {cmd!r}"}
+
+
+# ---------------------------------------------------------------------------
+# CLI entry points (dispatched from daemon_cli)
+# ---------------------------------------------------------------------------
+
+def _build_daemon(foreground: bool = True) -> Daemon:
+    import jax.numpy as jnp
+
+    from openhush_tpu.audio.capture import NullSource, SoundDeviceSource
+    from openhush_tpu.models.whisper import model as whisper
+    from openhush_tpu.models.whisper.config import get_config
+    from openhush_tpu.runtime.engine import WhisperEngine, default_model_dir
+    from openhush_tpu.runtime.server import EngineServer
+    from openhush_tpu.utils.config import Config
+
+    config = Config.load_or_default()
+    model = config.transcription.effective_model()
+    allow_random = os.environ.get("OPENHUSH_ALLOW_RANDOM_INIT") == "1"
+    eng = WhisperEngine(model, language=config.transcription.language,
+                        allow_random_init=allow_random)
+    server = EngineServer(eng.cfg, eng.params, tokenizer=eng.tokenizer)
+    try:
+        source = SoundDeviceSource(device=config.audio.device or None,
+                                   channels=config.audio.channels or None)
+    except Exception as e:
+        log.warning("No audio capture available (%s); using silence", e)
+        source = NullSource()
+    return Daemon(config, server, source)
+
+
+def cmd_start(args: list[str]) -> int:
+    logging.basicConfig(level=logging.INFO)
+    try:
+        daemon = _build_daemon()
+    except FileNotFoundError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    try:
+        daemon.run()
+    except RuntimeError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    return 0
+
+
+def cmd_stop(args: list[str]) -> int:
+    try:
+        resp = ipc.IpcClient().send("stop")
+    except (ConnectionError, OSError):
+        print("Daemon not running", file=sys.stderr)
+        return 1
+    print("Daemon stopping" if resp.get("ok") else "Failed to stop daemon")
+    return 0 if resp.get("ok") else 1
+
+
+def cmd_status(args: list[str]) -> int:
+    try:
+        resp = ipc.IpcClient().send("status")
+    except (ConnectionError, OSError):
+        print("Daemon: not running")
+        return 1
+    print(f"Daemon: running (v{resp.get('version', '?')})")
+    print(f"State: {resp.get('state', '?')}")
+    print(f"Recording: {resp.get('recording', False)}")
+    print(f"Queue depth: {resp.get('queue_depth', 0)}")
+    return 0
+
+
+def cmd_recording(args: list[str]) -> int:
+    action = args[0] if args else "toggle"
+    cmd = {"start": "start_recording", "stop": "stop_recording",
+           "toggle": "toggle_recording",
+           "continuous": "start_continuous"}.get(action)
+    if cmd is None:
+        print(f"unknown recording action {action!r} "
+              f"(use start|stop|toggle|continuous)", file=sys.stderr)
+        return 2
+    try:
+        resp = ipc.IpcClient().send(cmd)
+    except (ConnectionError, OSError):
+        print("Daemon not running", file=sys.stderr)
+        return 1
+    print("ok" if resp.get("ok") else f"failed: {resp.get('error', '')}")
+    return 0 if resp.get("ok") else 1
+
+
+def cmd_device(args: list[str]) -> int:
+    from openhush_tpu.audio.capture import SoundDeviceSource
+    devices = SoundDeviceSource.list_devices()
+    if not devices:
+        print("No audio devices found (sounddevice not installed or no "
+              "hardware)")
+        return 0
+    for i, d in enumerate(devices):
+        kind = "in" if d.get("max_input_channels", 0) > 0 else "out"
+        print(f"  [{i}] {d.get('name', '?')} ({kind}, "
+              f"{d.get('default_samplerate', 0):.0f} Hz)")
+    return 0

@@ -1,0 +1,156 @@
+"""Daemon orchestration tests: state machine, chunking, IPC round trip,
+PID lifecycle — all with the fake-backend strategy (random-weight 'test'
+model, file/null audio sources; no hardware, no hotkeys)."""
+
+import os
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openhush_tpu.audio.capture import FileSource
+from openhush_tpu.models.whisper import model as whisper
+from openhush_tpu.models.whisper.config import get_config
+from openhush_tpu.runtime import daemon as daemon_mod
+from openhush_tpu.runtime.daemon import Daemon, DaemonState
+from openhush_tpu.runtime.ipc import IpcClient, IpcServer
+from openhush_tpu.runtime.server import EngineServer
+from openhush_tpu.text.tokenizer import WhisperTokenizer
+from openhush_tpu.utils.config import Config
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = get_config("test")
+    params = whisper.init_params(cfg, jax.random.PRNGKey(0))
+    return EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                        dtype=jnp.float32,
+                        tokenizer=WhisperTokenizer(cfg.n_langs))
+
+
+def _audio(secs=3.0):
+    rng = np.random.default_rng(0)
+    t = np.arange(int(16000 * secs)) / 16000
+    return (0.3 * np.sin(2 * np.pi * 300 * t)
+            + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+def _make_daemon(server, tmp_path, outputs):
+    cfg = Config()
+    cfg.transcription.model = "test"
+    cfg.transcription.language = "en"
+    src = FileSource(_audio(), realtime=False)
+    return Daemon(cfg, server, src, output=outputs.append,
+                  ipc_path=str(tmp_path / "test.sock"),
+                  chunk_interval=0.2)
+
+
+def test_push_to_talk_cycle(server, tmp_path):
+    outputs = []
+    d = _make_daemon(server, tmp_path, outputs)
+    # Feed ring directly (no run loop).
+    d.ring.push(_audio(2.0))
+    assert d.start_recording()
+    assert d.state == DaemonState.RECORDING
+    assert not d.start_recording()          # double start rejected
+    d.ring.push(_audio(1.0))
+    assert d.stop_recording()               # submits final chunk
+    assert d.state == DaemonState.IDLE
+    for _ in range(120):
+        server.run_once()
+        d._drain_results()
+        if outputs or d.tracker.is_empty():
+            break
+    # With random weights text may decode empty, but the chunk must have
+    # completed through the pipeline.
+    assert d.tracker.is_empty()
+
+
+def test_daemon_ipc_full_cycle(server, tmp_path):
+    outputs = []
+    d = _make_daemon(server, tmp_path, outputs)
+    t = threading.Thread(target=d.run, kwargs={"max_runtime": 30},
+                         daemon=True)
+    t.start()
+    time.sleep(0.3)
+    client = IpcClient(path=str(tmp_path / "test.sock"))
+    try:
+        st = client.send("status")
+        assert st["ok"] and st["running"] and not st["recording"]
+        assert st["version"]
+        assert client.send("start_recording")["ok"]
+        assert client.send("status")["recording"]
+        time.sleep(0.5)   # let a chunk timer fire
+        assert client.send("stop_recording")["ok"]
+        assert client.send("version")["ok"]
+        assert client.send("queue_depth")["ok"]
+        assert not client.send("bogus_command")["ok"]
+        assert client.send("stop")["ok"]
+    finally:
+        t.join(timeout=60)
+    assert not t.is_alive()
+    assert not os.path.exists(daemon_mod.pid_file_path())
+
+
+def test_toggle(server, tmp_path):
+    d = _make_daemon(server, tmp_path, [])
+    assert d.toggle_recording()
+    assert d.state == DaemonState.RECORDING
+    assert d.toggle_recording()
+    assert d.state == DaemonState.IDLE
+
+
+def test_continuous_mode_vad_segment(server, tmp_path):
+    outputs = []
+    d = _make_daemon(server, tmp_path, outputs)
+    assert d.start_continuous()
+    assert d.state == DaemonState.CONTINUOUS
+    # Noise floor, speech burst, then silence → VAD should cut a segment.
+    rng = np.random.default_rng(1)
+    quiet = (0.001 * rng.standard_normal(512)).astype(np.float32)
+    loud = _audio(1.0)
+    for _ in range(20):
+        d.ring.push(quiet)
+        d._vad_tick()
+    d.ring.push(loud)
+    d._vad_tick()
+    for _ in range(60):
+        d.ring.push(quiet)
+        d._vad_tick()
+    # A segment should have been submitted (chunk id advanced).
+    assert d._chunk_id >= 1
+    assert d.stop_recording()
+
+
+def test_pid_file_lifecycle(tmp_path):
+    path = str(tmp_path / "test.pid")
+    daemon_mod.write_pid_file(path)
+    assert os.path.exists(path)
+    with open(path) as f:
+        assert int(f.read()) == os.getpid()
+    # Stale PID (dead process) is cleaned up.
+    daemon_mod.remove_pid_file(path)
+    with open(path, "w") as f:
+        f.write("999999")
+    daemon_mod.write_pid_file(path)     # should succeed after cleanup
+    daemon_mod.remove_pid_file(path)
+    assert not os.path.exists(path)
+
+
+def test_ipc_server_rejects_garbage(tmp_path):
+    sock = str(tmp_path / "g.sock")
+    srv = IpcServer(lambda req: {"ok": True}, path=sock)
+    srv.start()
+    try:
+        import socket as pysock
+        s = pysock.socket(pysock.AF_UNIX, pysock.SOCK_STREAM)
+        s.connect(sock)
+        s.sendall(b"this is not json\n")
+        resp = s.recv(4096)
+        assert b'"ok": false' in resp.lower() or b"invalid" in resp.lower()
+        s.close()
+    finally:
+        srv.stop()
