@@ -125,6 +125,44 @@ class Daemon:
             config.queue.chunk_interval_secs
             if config.queue.chunk_interval_secs > 0 else 5.0)
 
+        # Post-processing pipeline (parity: process_and_output,
+        # daemon.rs:459-560) — every stage degrades gracefully.
+        from openhush_tpu.output.handlers import (ActionContext,
+                                                  ActionRunner)
+        from openhush_tpu.postproc.correction import (CorrectionConfig,
+                                                      TextCorrector)
+        from openhush_tpu.postproc.translation import (TranslationConfig,
+                                                       Translator)
+        from openhush_tpu.text.vocabulary import VocabularyManager
+        self._ActionContext = ActionContext
+        self.vocabulary = VocabularyManager(
+            config.vocabulary.path or None,
+            config.vocabulary.reload_interval_secs)
+        self.corrector = None
+        if config.correction.enabled:
+            self.corrector = TextCorrector(CorrectionConfig(
+                enabled=True, ollama_url=config.correction.ollama_url,
+                model=config.correction.model,
+                remove_fillers=config.correction.remove_fillers,
+                filler_mode=config.correction.filler_mode,
+                timeout_secs=config.correction.timeout_secs))
+        self.translator = None
+        if config.translation.enabled:
+            try:
+                self.translator = Translator(TranslationConfig(
+                    enabled=True, backend=config.translation.backend,
+                    target_language=config.translation.target_language,
+                    ollama_url=config.translation.ollama_url,
+                    ollama_model=config.translation.ollama_model))
+            except Exception as e:  # noqa: BLE001
+                log.warning("Translation disabled: %s", e)
+        try:
+            self.actions = ActionRunner.from_config_list(
+                list(config.output.actions))
+        except Exception as e:  # noqa: BLE001
+            log.warning("Actions disabled: %s", e)
+            self.actions = ActionRunner([])
+
         self.state = DaemonState.IDLE
         self._session_id: Optional[int] = None
         self._sequence = 0
@@ -339,7 +377,32 @@ class Daemon:
                 is_final=final, duration_secs=0.0))
         for ready in self.tracker.take_ready():
             if ready.text:
-                self.output(ready.text)
+                self._process_and_output(ready)
+
+    def _process_and_output(self, ready: ChunkResult) -> None:
+        """vocab → LLM correction → translation → output + actions
+        (parity: process_and_output, daemon.rs:459-560)."""
+        self.vocabulary.check_reload()
+        text = self.vocabulary.apply(ready.text)
+        if self.corrector is not None:
+            text = self.corrector.correct(text)
+        if self.translator is not None:
+            pieces = self.translator.add_chunk(text)
+            if ready.is_final:
+                rest = self.translator.flush()
+                if rest:
+                    pieces.append(rest)
+            texts = pieces
+        else:
+            texts = [text]
+        for out_text in texts:
+            if not out_text:
+                continue
+            self.output(out_text)
+            self.actions.run_all(self._ActionContext(
+                text=out_text, duration_secs=ready.duration_secs,
+                model=self.config.transcription.effective_model(),
+                seq_id=ready.sequence_id))
 
     # -- IPC (wire parity: src/ipc/mod.rs:41-110) -------------------------------------
 
@@ -461,6 +524,227 @@ def cmd_recording(args: list[str]) -> int:
         return 1
     print("ok" if resp.get("ok") else f"failed: {resp.get('error', '')}")
     return 0 if resp.get("ok") else 1
+
+
+def cmd_summarize(args: list[str]) -> int:
+    """openhush summarize [FILE] [--template NAME] — summarize a transcript
+    (stdin if no file). Parity: Commands::Summarize (src/main.rs)."""
+    from openhush_tpu.postproc.summarization import (OllamaProvider,
+                                                     OpenAiCompatProvider,
+                                                     Summarizer,
+                                                     TemplateRegistry)
+    from openhush_tpu.utils.config import Config
+
+    config = Config.load_or_default()
+    template = "summary"
+    path = None
+    it = iter(args)
+    for a in it:
+        if a in ("--template", "-t"):
+            template = next(it, "summary")
+        elif a == "--list-templates":
+            reg = TemplateRegistry(config.summarization.templates_path
+                                   or None)
+            print("\n".join(reg.names()))
+            return 0
+        elif not a.startswith("-"):
+            path = a
+    if path:
+        try:
+            with open(path) as f:
+                transcript = f.read()
+        except OSError as e:
+            print(f"Cannot read {path}: {e}", file=sys.stderr)
+            return 1
+    else:
+        transcript = sys.stdin.read()
+    if not transcript.strip():
+        print("Empty transcript", file=sys.stderr)
+        return 1
+    sc = config.summarization
+    if sc.provider == "openai":
+        from openhush_tpu.utils.secrets import resolve_secret
+        provider = OpenAiCompatProvider(url=sc.openai_url, model=sc.model,
+                                        api_key=resolve_secret(sc.api_key))
+    else:
+        provider = OllamaProvider(url=sc.ollama_url, model=sc.model)
+    if not provider.is_available():
+        print(f"Summarization provider '{sc.provider}' is not available",
+              file=sys.stderr)
+        return 1
+    reg = TemplateRegistry(sc.templates_path or None)
+    try:
+        summary = Summarizer(provider, reg).summarize(transcript, template)
+    except Exception as e:  # noqa: BLE001
+        print(f"Summarization failed: {e}", file=sys.stderr)
+        return 1
+    print(summary)
+    return 0
+
+
+def cmd_config(args: list[str]) -> int:
+    """openhush config [show|path|validate|get KEY|set KEY VALUE]
+    (parity: Config CLI mutation, src/config.rs:1419)."""
+    from openhush_tpu.utils.config import Config, config_path, dumps_toml
+
+    action = args[0] if args else "show"
+    cfg = Config.load_or_default()
+    if action == "show":
+        print(dumps_toml(cfg.to_dict()), end="")
+        return 0
+    if action == "path":
+        print(config_path())
+        return 0
+    if action == "validate":
+        errors = cfg.validate()
+        if errors:
+            for e in errors:
+                print(f"error: {e}", file=sys.stderr)
+            return 1
+        print("Configuration is valid")
+        return 0
+    if action == "get" and len(args) >= 2:
+        section, _, key = args[1].partition(".")
+        node = cfg.to_dict().get(section, {})
+        value = node.get(key) if key else node
+        if value is None:
+            print(f"unknown key {args[1]!r}", file=sys.stderr)
+            return 1
+        print(value if not isinstance(value, dict)
+              else json.dumps(value, indent=2))
+        return 0
+    if action == "set" and len(args) >= 3:
+        section, _, key = args[1].partition(".")
+        raw = args[2]
+        target = getattr(cfg, section, None)
+        if target is None or not hasattr(target, key):
+            print(f"unknown key {args[1]!r}", file=sys.stderr)
+            return 1
+        current = getattr(target, key)
+        try:
+            if isinstance(current, bool):
+                value = raw.lower() in ("1", "true", "yes", "on")
+            elif isinstance(current, int):
+                value = int(raw)
+            elif isinstance(current, float):
+                value = float(raw)
+            elif isinstance(current, list):
+                value = json.loads(raw)
+            else:
+                value = raw
+        except (ValueError, json.JSONDecodeError) as e:
+            print(f"invalid value: {e}", file=sys.stderr)
+            return 1
+        setattr(target, key, value)
+        errors = cfg.validate()
+        if errors:
+            for e in errors:
+                print(f"error: {e}", file=sys.stderr)
+            return 1
+        cfg.save()
+        print(f"{args[1]} = {value}")
+        return 0
+    print("usage: openhush config [show|path|validate|get KEY|"
+          "set KEY VALUE]", file=sys.stderr)
+    return 2
+
+
+def cmd_secret(args: list[str]) -> int:
+    """openhush secret set|get|list|delete|check NAME [VALUE]
+    (parity: src/secrets.rs:163-216)."""
+    from openhush_tpu.utils.secrets import default_store
+
+    store = default_store()
+    action = args[0] if args else "list"
+    if action == "list":
+        names = store.list()
+        print("\n".join(names) if names
+              else f"(no secrets in {store.backend} store)")
+        return 0
+    if action == "check":
+        print(f"Secret backend: {store.backend}")
+        return 0
+    if len(args) < 2:
+        print("usage: openhush secret set|get|delete NAME [VALUE]",
+              file=sys.stderr)
+        return 2
+    name = args[1]
+    if action == "set":
+        if len(args) >= 3:
+            value = args[2]
+        else:
+            import getpass
+            value = getpass.getpass(f"Value for {name!r}: ")
+        store.set(name, value)
+        print(f"Stored {name!r} ({store.backend})")
+        return 0
+    if action in ("get", "show"):
+        value = store.get(name)
+        if value is None:
+            print(f"Secret {name!r} not found", file=sys.stderr)
+            return 1
+        print(value)
+        return 0
+    if action == "delete":
+        ok = store.delete(name)
+        print("Deleted" if ok else f"Secret {name!r} not found")
+        return 0 if ok else 1
+    print(f"unknown secret action {action!r}", file=sys.stderr)
+    return 2
+
+
+def cmd_api_key(args: list[str]) -> int:
+    """openhush api-key generate|set|clear — manage the REST API key
+    (stores only the SHA-256 hash in config, parity: api.rs auth)."""
+    from openhush_tpu.api.server import hash_api_key
+    from openhush_tpu.utils.config import Config
+
+    cfg = Config.load_or_default()
+    action = args[0] if args else "generate"
+    if action == "generate":
+        import secrets as pysecrets
+        key = pysecrets.token_urlsafe(32)
+        cfg.api.api_key_hash = hash_api_key(key)
+        cfg.save()
+        print(f"API key (save this; only its hash is stored):\n{key}")
+        return 0
+    if action == "set" and len(args) >= 2:
+        cfg.api.api_key_hash = hash_api_key(args[1])
+        cfg.save()
+        print("API key hash updated")
+        return 0
+    if action == "clear":
+        cfg.api.api_key_hash = ""
+        cfg.save()
+        print("API key cleared (API now open)")
+        return 0
+    print("usage: openhush api-key generate|set KEY|clear",
+          file=sys.stderr)
+    return 2
+
+
+def cmd_service(args: list[str]) -> int:
+    """openhush service install|uninstall|status (parity: src/service/)."""
+    from openhush_tpu.utils import service
+
+    action = args[0] if args else "status"
+    if action == "install":
+        path = service.install()
+        print(f"Installed service: {path}")
+        return 0
+    if action == "uninstall":
+        ok = service.uninstall()
+        print("Uninstalled" if ok else "Not installed")
+        return 0
+    if action == "status":
+        st = service.status()
+        print(f"Installed: {st['installed']}")
+        if "enabled" in st:
+            print(f"Enabled: {st['enabled']}")
+        print(f"Path: {st['path']}")
+        return 0
+    print(f"unknown service action {action!r}", file=sys.stderr)
+    return 2
 
 
 def cmd_device(args: list[str]) -> int:

@@ -106,6 +106,42 @@ class ApiConfig:
 class OutputConfig:
     mode: str = "both"               # clipboard|paste|both
     paste_method: str = "type"       # type|ctrl_v|xdotool
+    actions: list = dataclasses.field(default_factory=list)  # action tables
+
+
+@dataclasses.dataclass
+class VocabularyConfig:
+    path: str = ""                   # vocabulary.toml location
+    reload_interval_secs: float = 5.0
+
+
+@dataclasses.dataclass
+class CorrectionSection:
+    enabled: bool = False
+    ollama_url: str = "http://localhost:11434"
+    model: str = "llama3.2:1b"
+    remove_fillers: bool = True
+    filler_mode: str = "moderate"    # conservative|moderate|aggressive
+    timeout_secs: float = 30.0
+
+
+@dataclasses.dataclass
+class TranslationSection:
+    enabled: bool = False
+    backend: str = "ollama"          # ollama|m2m100|whisper
+    target_language: str = "en"
+    ollama_url: str = "http://localhost:11434"
+    ollama_model: str = "llama3.2:1b"
+
+
+@dataclasses.dataclass
+class SummarizationConfig:
+    provider: str = "ollama"         # ollama|openai
+    ollama_url: str = "http://localhost:11434"
+    model: str = "llama3.2:1b"
+    openai_url: str = "https://api.openai.com"
+    api_key: str = ""                # or keyring:NAME indirection
+    templates_path: str = ""
 
 
 @dataclasses.dataclass
@@ -126,6 +162,14 @@ class Config:
         default_factory=WakeWordConfig)
     api: ApiConfig = dataclasses.field(default_factory=ApiConfig)
     output: OutputConfig = dataclasses.field(default_factory=OutputConfig)
+    vocabulary: VocabularyConfig = dataclasses.field(
+        default_factory=VocabularyConfig)
+    correction: CorrectionSection = dataclasses.field(
+        default_factory=CorrectionSection)
+    translation: TranslationSection = dataclasses.field(
+        default_factory=TranslationSection)
+    summarization: SummarizationConfig = dataclasses.field(
+        default_factory=SummarizationConfig)
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
     extra: dict = dataclasses.field(default_factory=dict)
 
