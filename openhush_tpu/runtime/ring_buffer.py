@@ -28,20 +28,42 @@ class AudioMark:
 
 
 class RingBuffer:
-    """Monotonic-position audio ring buffer."""
+    """Monotonic-position audio ring buffer.
+
+    Backend: the lock-free C++ SPSC ring (native/openhush_native.cpp) when
+    the native library is available — the capture callback then pushes with
+    no lock and no GIL-held copies — else a numpy-under-mutex fallback with
+    identical semantics.
+    """
 
     def __init__(self, duration_secs: float = 30.0,
-                 sample_rate: int = 16_000):
-        capacity = 1
-        while capacity < int(duration_secs * sample_rate):
-            capacity <<= 1
-        self.capacity = capacity
-        self.mask = capacity - 1
+                 sample_rate: int = 16_000, prefer_native: bool = True):
+        min_capacity = int(duration_secs * sample_rate)
         self.sample_rate = sample_rate
-        self._buffer = np.zeros(capacity, np.float32)
+        self._native = None
+        if prefer_native:
+            try:
+                from openhush_tpu.utils.native import NativeRing
+                self._native = NativeRing(min_capacity)
+            except (RuntimeError, MemoryError, ImportError):
+                self._native = None
+        if self._native is not None:
+            self.capacity = self._native.capacity
+        else:
+            capacity = 1
+            while capacity < min_capacity:
+                capacity <<= 1
+            self.capacity = capacity
+        self.mask = self.capacity - 1
+        self._buffer = (None if self._native is not None
+                        else np.zeros(self.capacity, np.float32))
         self._write_pos = 0          # monotonic, never masked
         self._sequence = 0
         self._lock = threading.Lock()
+
+    @property
+    def is_native(self) -> bool:
+        return self._native is not None
 
     # -- producer -------------------------------------------------------------
 
@@ -49,6 +71,10 @@ class RingBuffer:
         samples = np.asarray(samples, np.float32).ravel()
         n = len(samples)
         if n == 0:
+            return
+        if self._native is not None:
+            self._native.push(samples)
+            self._sequence += 1
             return
         if n > self.capacity:        # keep only the newest capacity samples
             samples = samples[-self.capacity:]
@@ -65,10 +91,11 @@ class RingBuffer:
     # -- consumer -------------------------------------------------------------
 
     def mark(self) -> AudioMark:
-        with self._lock:
-            return AudioMark(self._write_pos, self._sequence)
+        return AudioMark(self.current_position(), self._sequence)
 
     def current_position(self) -> int:
+        if self._native is not None:
+            return self._native.position()
         with self._lock:
             return self._write_pos
 
@@ -86,11 +113,15 @@ class RingBuffer:
         requested = to_pos - from_pos
         if requested <= 0:
             return np.zeros(0, np.float32)
-        available = min(requested, self.capacity)
         if requested > self.capacity:
             log.warning(
                 "Chunk extraction: buffer wrapped, requested %d samples "
-                "but only %d available", requested, available)
+                "but only %d available", requested,
+                min(requested, self.capacity))
+        if self._native is not None:
+            return self._native.extract_range(from_pos, to_pos)
+        available = min(requested, self.capacity)
+        if requested > self.capacity:
             from_pos = to_pos - self.capacity
         with self._lock:
             start = from_pos & self.mask
