@@ -163,6 +163,19 @@ class Daemon:
             log.warning("Actions disabled: %s", e)
             self.actions = ActionRunner([])
 
+        # Wake word: always-on while IDLE (parity: daemon.rs:2105-2179).
+        self.wake_detector = None
+        self._wake_pos = 0
+        if getattr(config.wake_word, "enabled", False):
+            try:
+                from openhush_tpu.models.wakeword import (WakeWordConfig,
+                                                          WakeWordDetector)
+                self.wake_detector = WakeWordDetector(WakeWordConfig(
+                    threshold=config.wake_word.threshold,
+                    model_name=config.wake_word.model))
+            except Exception as e:  # noqa: BLE001
+                log.warning("Wake word disabled: %s", e)
+
         self.state = DaemonState.IDLE
         self._session_id: Optional[int] = None
         self._sequence = 0
@@ -298,6 +311,9 @@ class Daemon:
                         now - last_vad_tick >= 0.032:
                     self._vad_tick()
                     last_vad_tick = now
+                if self.state == DaemonState.IDLE and \
+                        self.wake_detector is not None:
+                    self._wake_tick()
                 self._drain_results()
                 time.sleep(0.005)
         finally:
@@ -361,6 +377,24 @@ class Daemon:
                 language=self.config.transcription.language,
                 timestamps=False)
         self._chunk_id += 1
+
+    # -- wake word (parity: daemon.rs:2105-2179) --------------------------------------
+
+    def _wake_tick(self) -> None:
+        from openhush_tpu.models.wakeword import CHUNK_SAMPLES
+        now = self.ring.current_position()
+        if self._wake_pos == 0:
+            self._wake_pos = max(0, now - CHUNK_SAMPLES)
+        while now - self._wake_pos >= CHUNK_SAMPLES:
+            chunk = self.ring.extract_range(self._wake_pos,
+                                            self._wake_pos + CHUNK_SAMPLES)
+            self._wake_pos += CHUNK_SAMPLES
+            score = self.wake_detector.process(chunk)
+            if self.wake_detector.detected(score):
+                log.info("Wake word detected (score %.2f) — starting "
+                         "continuous dictation", score)
+                self.start_continuous()
+                return
 
     # -- results → output -----------------------------------------------------------
 
@@ -524,6 +558,11 @@ def cmd_recording(args: list[str]) -> int:
         return 1
     print("ok" if resp.get("ok") else f"failed: {resp.get('error', '')}")
     return 0 if resp.get("ok") else 1
+
+
+def cmd_record(args: list[str]) -> int:
+    from openhush_tpu.runtime.recording import cmd_record as run
+    return run(args)
 
 
 def cmd_summarize(args: list[str]) -> int:
