@@ -194,7 +194,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Crash hook first (parity: panic handler installed before anything
+    # else, src/main.rs:416), then logging by OPENHUSH_LOG > -v > config.
+    from openhush_tpu.utils import crash, tracing
+    crash.install()
     args = build_parser().parse_args(argv)
+    try:
+        from openhush_tpu.utils.config import Config
+        level = Config.load_or_default().logging.level
+    except Exception:  # noqa: BLE001
+        level = "info"
+    tracing.setup_logging(verbose=args.verbose, config_level=level)
     if args.command == "transcribe":
         return cmd_transcribe(args)
     if args.command == "model":

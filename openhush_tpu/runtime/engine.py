@@ -30,8 +30,10 @@ from openhush_tpu.runtime import validation
 from openhush_tpu.text.tokenizer import WhisperTokenizer
 
 # Temperature fallback schedule + acceptance thresholds (whisper defaults,
-# the same heuristics whisper.cpp replicates).
-TEMPERATURES = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+# the same heuristics whisper.cpp replicates). OPENHUSH_NO_FALLBACK=1
+# disables the ladder (tests / latency-critical streaming).
+TEMPERATURES = ((0.0,) if os.environ.get("OPENHUSH_NO_FALLBACK") == "1"
+                else (0.0, 0.2, 0.4, 0.6, 0.8, 1.0))
 COMPRESSION_RATIO_THRESHOLD = 2.4
 LOGPROB_THRESHOLD = -1.0
 NO_SPEECH_THRESHOLD = 0.6

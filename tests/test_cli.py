@@ -17,6 +17,7 @@ def run_cli(*args, timeout=600):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    env["OPENHUSH_NO_FALLBACK"] = "1"   # skip the temperature ladder
     return subprocess.run(
         [sys.executable, "-m", "openhush_tpu.cli", *args],
         capture_output=True, text=True, timeout=timeout, env=env)
@@ -80,6 +81,6 @@ def test_transcribe_json_random_init(tmp_path):
 
 
 def test_unimplemented_commands_report_honestly():
-    r = run_cli("summarize")
+    r = run_cli("preferences")
     assert r.returncode == 2
     assert "not available yet" in r.stderr
