@@ -116,8 +116,38 @@ def cmd_model(args) -> int:
         return 0
     if args.model_cmd == "convert":
         return _convert_model(args)
+    if args.model_cmd == "convert-m2m100":
+        return _convert_m2m100(args)
     print(f"unknown model subcommand: {args.model_cmd}", file=sys.stderr)
     return 1
+
+
+def _convert_m2m100(args) -> int:
+    import os
+
+    from openhush_tpu.models import m2m100
+    from openhush_tpu.models.whisper.convert import save_npz
+    from openhush_tpu.runtime.engine import default_model_dir
+
+    hf = args.hf_path
+    bin_path = os.path.join(hf, "pytorch_model.bin")
+    st_path = os.path.join(hf, "model.safetensors")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file  # type: ignore
+        sd = load_file(st_path)
+    elif os.path.exists(bin_path):
+        import torch
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+    else:
+        print(f"No checkpoint found under {hf}", file=sys.stderr)
+        return 1
+    cfg = m2m100.CONFIGS.get(args.name, m2m100.CONFIGS["418M"])
+    params = m2m100.from_hf_state_dict(sd, cfg)
+    out = args.output or os.path.join(default_model_dir(), "m2m100.npz")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    save_npz(params, out)
+    print(f"Converted M2M-100 {cfg.name} → {out}")
+    return 0
 
 
 def _convert_model(args) -> int:
@@ -168,10 +198,15 @@ def build_parser() -> argparse.ArgumentParser:
     pm_sub = pm.add_subparsers(dest="model_cmd")
     pm_sub.add_parser("list", help="List models")
     pc = pm_sub.add_parser("convert",
-                           help="Convert a HF checkpoint to npz")
+                           help="Convert a HF Whisper checkpoint to npz")
     pc.add_argument("name")
     pc.add_argument("--hf-path", required=True)
     pc.add_argument("--output", default=None)
+    pc2 = pm_sub.add_parser("convert-m2m100",
+                            help="Convert a HF M2M-100 checkpoint to npz")
+    pc2.add_argument("name", nargs="?", default="418M")
+    pc2.add_argument("--hf-path", required=True)
+    pc2.add_argument("--output", default=None)
 
     for name, helptext in [
             ("start", "Start the daemon"),
