@@ -32,8 +32,9 @@ from openhush_tpu.ops import frontend_pallas
 from openhush_tpu.ops import mel as mel_ops
 
 MODEL = os.environ.get("OPENHUSH_BENCH_MODEL", "large-v3")
-BATCH = int(os.environ.get("OPENHUSH_BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("OPENHUSH_BENCH_BATCH", "16"))
 DECODE_STEPS = int(os.environ.get("OPENHUSH_BENCH_DECODE_STEPS", "128"))
+CACHE_LEN = 256   # decode cache right-sized to prompt+steps (tile-rounded)
 BASELINE_X_REALTIME = 12.5   # reference large-v3 on RTX 3090
 WINDOW_SECS = 30.0
 
@@ -46,8 +47,9 @@ def make_bench_step(cfg):
             lambda a: frontend_pallas.log_mel(a, n_mels=cfg.n_mels)
         )(audio).astype(jnp.bfloat16)
         feats = whisper.encode(cfg, params, mel)
-        cross_kv = whisper.compute_cross_kv(cfg, params, feats)
-        cache = whisper.init_kv_cache(cfg, audio.shape[0], dtype=feats.dtype)
+        cross_kv = whisper.compute_cross_kv_quant(cfg, params, feats)
+        cache = whisper.init_kv_cache(cfg, audio.shape[0], dtype=feats.dtype,
+                                      max_len=CACHE_LEN)
         logits, cache = whisper.decode(cfg, params, prompt, jnp.int32(0),
                                        cache, cross_kv)
         p = prompt.shape[1]

@@ -250,7 +250,14 @@ def decode_greedy(cfg: WhisperConfig, params, cross_kv,
     prompt_arr = np.tile(np.asarray(prompt, np.int32), (B, 1))
     suppress = jnp.asarray(build_suppress_mask(tok, cfg, opts))
     max_new = min(opts.max_new_tokens, cfg.n_text_ctx - len(prompt) - 1)
-    cache = whisper.init_kv_cache(cfg, B, dtype=cross_kv.k.dtype)
+    # Right-size the cache: every decode step reads the whole [.., T, ..]
+    # buffer, so T = prompt+max_new (tile-rounded), not n_text_ctx.
+    cache_len = min(cfg.n_text_ctx,
+                    ((len(prompt) + max_new + 63) // 64) * 64)
+    cache_dtype = (cross_kv.k.dtype if cross_kv.k.dtype != jnp.int8
+                   else jnp.bfloat16)
+    cache = whisper.init_kv_cache(cfg, B, dtype=cache_dtype,
+                                  max_len=cache_len)
     blank = tok.encode(" ")
     blank_token = blank[0] if blank else 220
     tokens, sum_lp, lengths, no_speech = greedy_loop(

@@ -147,3 +147,25 @@ def test_init_params_shapes():
     assert pe.shape == (1500, 64)
     np.testing.assert_allclose(pe[0, :32], 0.0, atol=1e-7)   # sin(0)
     np.testing.assert_allclose(pe[0, 32:], 1.0, atol=1e-7)   # cos(0)
+
+
+def test_quantized_cross_kv_matches_fp(pair):
+    """int8 cross-KV must be argmax-identical and prob-close to fp."""
+    import jax
+    import jax.numpy as jnp
+    _, params, cfg = pair
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.5
+    feats = whisper.encode(cfg, params, mel)
+    xkv_f = whisper.compute_cross_kv(cfg, params, feats)
+    xkv_q = whisper.compute_cross_kv_quant(cfg, params, feats)
+    assert xkv_q.k.dtype == jnp.int8
+    tokens = rng.integers(0, TEST_VOCAB, (1, 4)).astype(np.int32)
+    cache = whisper.init_kv_cache(cfg, 1)
+    lf, _ = whisper.decode(cfg, params, tokens, jnp.int32(0), cache, xkv_f)
+    cache = whisper.init_kv_cache(cfg, 1)
+    lq, _ = whisper.decode(cfg, params, tokens, jnp.int32(0), cache, xkv_q)
+    pf = np.asarray(jax.nn.softmax(lf[..., :TEST_VOCAB], -1))
+    pq = np.asarray(jax.nn.softmax(lq[..., :TEST_VOCAB], -1))
+    assert np.abs(pf - pq).max() < 5e-3
+    np.testing.assert_array_equal(pf.argmax(-1), pq.argmax(-1))
