@@ -220,6 +220,7 @@ def build_parser() -> argparse.ArgumentParser:
             ("secret", "Manage secrets"),
             ("api-key", "Manage API keys"),
             ("summarize", "Summarize a transcript"),
+            ("evaluate", "Evaluate WER on a LibriSpeech-layout dataset"),
             ("preferences", "Open preferences"),
             ("setup", "First-run setup wizard")]:
         sub.add_parser(name, help=helptext, add_help=False,

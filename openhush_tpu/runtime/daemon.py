@@ -276,6 +276,26 @@ class Daemon:
     def run(self, max_runtime: Optional[float] = None) -> None:
         write_pid_file()
         self._ipc.start()
+        # Global hotkey (push-to-talk / toggle by config.hotkey.mode).
+        self._hotkey = None
+        try:
+            from openhush_tpu.runtime.hotkey import HotkeyListener
+            mode = self.config.hotkey.mode
+            if mode == "toggle":
+                on_press, on_release = self.toggle_recording, lambda: None
+            elif mode == "continuous":
+                on_press, on_release = self.start_continuous, lambda: None
+            else:  # push_to_talk
+                on_press, on_release = (self.start_recording,
+                                        self.stop_recording)
+            hk = HotkeyListener(self.config.hotkey.key, on_press,
+                                on_release)
+            if hk.start():
+                self._hotkey = hk
+                log.info("Global hotkey %s active (%s mode)",
+                         self.config.hotkey.key, mode)
+        except (ValueError, OSError) as e:
+            log.warning("Hotkey disabled: %s", e)
         self._api = None
         if getattr(self.config.api, "enabled", False):
             from openhush_tpu.api.server import ApiServer
@@ -329,6 +349,8 @@ class Daemon:
             self.server.stop()
         if getattr(self, "_api", None) is not None:
             self._api.stop()
+        if getattr(self, "_hotkey", None) is not None:
+            self._hotkey.stop()
         self._ipc.stop()
         remove_pid_file()
 
@@ -688,6 +710,40 @@ def cmd_config(args: list[str]) -> int:
     return 2
 
 
+def cmd_evaluate(args: list[str]) -> int:
+    """openhush evaluate --dataset DIR [--model M] [--limit N] — WER on a
+    LibriSpeech-layout dataset (the north-star quality gate)."""
+    import argparse
+
+    from openhush_tpu.runtime.engine import WhisperEngine
+    from openhush_tpu.utils.wer import evaluate_librispeech
+
+    p = argparse.ArgumentParser(prog="openhush evaluate")
+    p.add_argument("--dataset", required=True)
+    p.add_argument("--model", "-m", default="large-v3")
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--beam-size", type=int, default=None)
+    ns = p.parse_args(args)
+    if not os.path.isdir(ns.dataset):
+        print(f"Dataset directory not found: {ns.dataset}", file=sys.stderr)
+        return 1
+    try:
+        engine = WhisperEngine(ns.model)
+    except FileNotFoundError as e:
+        print(e, file=sys.stderr)
+        return 1
+    result = evaluate_librispeech(engine, ns.dataset, limit=ns.limit)
+    print(json.dumps({
+        "wer": round(result.wer, 4),
+        "substitutions": result.substitutions,
+        "deletions": result.deletions,
+        "insertions": result.insertions,
+        "n_ref_words": result.n_ref_words,
+        "model": ns.model,
+    }))
+    return 0
+
+
 def cmd_secret(args: list[str]) -> int:
     """openhush secret set|get|list|delete|check NAME [VALUE]
     (parity: src/secrets.rs:163-216)."""
@@ -784,6 +840,104 @@ def cmd_service(args: list[str]) -> int:
         return 0
     print(f"unknown service action {action!r}", file=sys.stderr)
     return 2
+
+
+def cmd_setup(args: list[str]) -> int:
+    """openhush setup — first-run wizard: pick a model by hardware, set the
+    hotkey, test the mic, write config (CLI equivalent of the reference's
+    egui wizard, src/gui/wizard.rs: model pick / hotkey / mic test /
+    daemon start)."""
+    from openhush_tpu.models.whisper.config import CONFIGS
+    from openhush_tpu.runtime.engine import default_model_dir
+    from openhush_tpu.utils.config import Config, config_path
+
+    cfg = Config.load_or_default()
+    non_interactive = "--defaults" in args
+    print("OpenHush setup\n==============")
+
+    # 1. Model choice (by what's converted locally + TPU presence).
+    import jax
+    on_tpu = any(d.platform == "tpu" for d in jax.devices())
+    have = [n for n in CONFIGS if n != "test" and os.path.exists(
+        os.path.join(default_model_dir(), f"{n}.npz"))]
+    default_model = ("large-v3" if on_tpu else "base") \
+        if not have else have[-1]
+    def ask(prompt: str, default: str = "") -> str:
+        if non_interactive:
+            return default
+        try:
+            return input(prompt).strip() or default
+        except EOFError:
+            return default
+
+    available = ", ".join(n for n in CONFIGS if n != "test")
+    model = ask(f"Model [{default_model}] (available: {available}): ",
+                default_model)
+    if model not in CONFIGS or model == "test":
+        print(f"unknown model {model!r}", file=sys.stderr)
+        return 1
+    cfg.transcription.model = model
+    cfg.transcription.preset = "custom"
+
+    # 2. Hotkey.
+    key = ask(f"Push-to-talk hotkey [{cfg.hotkey.key}]: ")
+    if key:
+        from openhush_tpu.runtime.hotkey import parse_key
+        try:
+            parse_key(key)
+            cfg.hotkey.key = key
+        except ValueError as e:
+            print(f"warning: {e}; keeping {cfg.hotkey.key}")
+
+    # 3. Mic test (levels for 2 s when capture is available).
+    try:
+        from openhush_tpu.audio.capture import SoundDeviceSource
+        import numpy as np
+        import time as _t
+        levels = []
+        src = SoundDeviceSource()
+        src.start(lambda s: levels.append(float(np.sqrt(np.mean(s ** 2)))))
+        _t.sleep(2.0)
+        src.stop()
+        if levels:
+            print(f"Mic OK (peak RMS {max(levels):.4f})")
+    except Exception as e:  # noqa: BLE001
+        print(f"Mic test skipped ({e})")
+
+    cfg.save()
+    print(f"Config written to {config_path()}")
+    if os.path.exists(os.path.join(default_model_dir(), f"{model}.npz")):
+        print("Run: openhush start")
+    else:
+        print(f"Next: convert the model —\n  python -m openhush_tpu.cli "
+              f"model convert {model} --hf-path /path/to/hf_checkpoint")
+    return 0
+
+
+def cmd_preferences(args: list[str]) -> int:
+    """openhush preferences — open config.toml in $EDITOR, validating the
+    result (headless counterpart of the egui preferences window)."""
+    import subprocess
+
+    from openhush_tpu.utils.config import Config, config_path
+
+    path = config_path()
+    if not os.path.exists(path):
+        Config().save(path)
+    editor = os.environ.get("EDITOR", os.environ.get("VISUAL", ""))
+    if not editor:
+        print(path)
+        print("Set $EDITOR to edit preferences interactively",
+              file=sys.stderr)
+        return 0
+    subprocess.run([editor, path])
+    errors = Config.load_or_default(path).validate()
+    if errors:
+        for e in errors:
+            print(f"warning: {e}", file=sys.stderr)
+        return 1
+    print("Configuration valid")
+    return 0
 
 
 def cmd_device(args: list[str]) -> int:

@@ -237,9 +237,21 @@ def cmd_record(args: list[str]) -> int:
             print(f"Microphone capture unavailable ({e})", file=sys.stderr)
             return 1
     elif ns.source == "monitor":
-        print("System-audio loopback requires a desktop audio server; "
-              "use --source file:<path> here", file=sys.stderr)
-        return 1
+        from openhush_tpu.audio.system_audio import MonitorSource
+        try:
+            source = MonitorSource()
+        except RuntimeError as e:
+            print(f"System-audio capture unavailable ({e})",
+                  file=sys.stderr)
+            return 1
+    elif ns.source == "both":
+        from openhush_tpu.audio.system_audio import (MixedSource,
+                                                     MonitorSource)
+        try:
+            source = MixedSource(SoundDeviceSource(), MonitorSource())
+        except Exception as e:  # noqa: BLE001
+            print(f"Mixed capture unavailable ({e})", file=sys.stderr)
+            return 1
     else:
         print(f"unknown source {ns.source!r}", file=sys.stderr)
         return 2
