@@ -246,21 +246,31 @@ class Daemon:
             return
         if len(audio) < min_samples:
             audio = np.pad(audio, (0, min_samples - len(audio)))
-        accepted = self.tracker.add_pending(
-            self._sequence, self._chunk_id,
-            max_pending=self.config.queue.max_pending,
-            strategy=self.config.queue.backpressure)
-        if accepted:
-            self.server.submit_window(
-                self._session_id, audio,
-                window_id=self._pack(self._sequence, self._chunk_id,
-                                     final),
-                language=self.config.transcription.language,
-                task=("translate"
-                      if self.config.transcription.translate
-                      else "transcribe"),
-                timestamps=False)
-        self._chunk_id += 1
+        self._submit_audio(audio, final)
+
+    def _submit_audio(self, audio: np.ndarray, final: bool) -> None:
+        """Submit audio, splitting anything longer than the server's
+        (audio_ctx-restricted) window."""
+        max_window = getattr(self.server, "audio_ctx", 1500) * 2 * 160
+        pieces = [audio[i:i + max_window]
+                  for i in range(0, max(1, len(audio)), max_window)]
+        for j, piece in enumerate(pieces):
+            is_last = final and j == len(pieces) - 1
+            accepted = self.tracker.add_pending(
+                self._sequence, self._chunk_id,
+                max_pending=self.config.queue.max_pending,
+                strategy=self.config.queue.backpressure)
+            if accepted:
+                self.server.submit_window(
+                    self._session_id, piece,
+                    window_id=self._pack(self._sequence, self._chunk_id,
+                                         is_last),
+                    language=self.config.transcription.language,
+                    task=("translate"
+                          if self.config.transcription.translate
+                          else "transcribe"),
+                    timestamps=False)
+            self._chunk_id += 1
 
     @staticmethod
     def _pack(seq: int, chunk: int, final: bool) -> int:
@@ -389,16 +399,7 @@ class Daemon:
         audio = self.ring.extract_range(start, end)
         if len(audio) == 0:
             return
-        if self.tracker.add_pending(
-                self._sequence, self._chunk_id,
-                max_pending=self.config.queue.max_pending,
-                strategy=self.config.queue.backpressure):
-            self.server.submit_window(
-                self._session_id, audio,
-                window_id=self._pack(self._sequence, self._chunk_id, False),
-                language=self.config.transcription.language,
-                timestamps=False)
-        self._chunk_id += 1
+        self._submit_audio(audio, final=False)
 
     # -- wake word (parity: daemon.rs:2105-2179) --------------------------------------
 
@@ -516,7 +517,14 @@ def _build_daemon(foreground: bool = True) -> Daemon:
     allow_random = os.environ.get("OPENHUSH_ALLOW_RANDOM_INIT") == "1"
     eng = WhisperEngine(model, language=config.transcription.language,
                         allow_random_init=allow_random)
-    server = EngineServer(eng.cfg, eng.params, tokenizer=eng.tokenizer)
+    # Size the encoder context to the streaming chunk length (whisper.cpp
+    # audio_ctx knob): ~50 positions/s with headroom, 64-aligned. VAD
+    # segments longer than the window are split at submission.
+    chunk_secs = (config.queue.chunk_interval_secs
+                  if config.queue.chunk_interval_secs > 0 else 5.0)
+    audio_ctx = min(1500, max(256, int(-(-chunk_secs * 50 * 2 // 64)) * 64))
+    server = EngineServer(eng.cfg, eng.params, tokenizer=eng.tokenizer,
+                          audio_ctx=audio_ctx, max_decode_len=256)
     try:
         source = SoundDeviceSource(device=config.audio.device or None,
                                    channels=config.audio.channels or None)

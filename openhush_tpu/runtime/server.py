@@ -69,13 +69,22 @@ class EngineServer:
 
     def __init__(self, cfg: WhisperConfig, params, *, n_slots: int = 8,
                  inner_steps: int = 8, dtype=jnp.bfloat16,
-                 tokenizer: Optional[WhisperTokenizer] = None):
+                 tokenizer: Optional[WhisperTokenizer] = None,
+                 audio_ctx: Optional[int] = None,
+                 max_decode_len: Optional[int] = None):
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
         self.inner_steps = inner_steps
         self.tokenizer = tokenizer or WhisperTokenizer(cfg.n_langs)
-        self.state = batcher.init_state(cfg, n_slots, dtype=dtype)
+        # audio_ctx: whisper.cpp-style encoder-context restriction. A
+        # streaming daemon with chunk_secs-long windows needs only
+        # ~chunk_secs*50 encoder positions (+margin) — 3-4x less cross-KV
+        # traffic per decode step than the full 30 s context.
+        self.audio_ctx = min(audio_ctx or cfg.n_audio_ctx, cfg.n_audio_ctx)
+        self.state = batcher.init_state(cfg, n_slots, dtype=dtype,
+                                        max_len=max_decode_len,
+                                        audio_ctx=self.audio_ctx)
         self._suppress = jnp.asarray(decoding.build_suppress_mask(
             self.tokenizer, cfg, decoding.DecodingOptions()))
         blank = self.tokenizer.encode(" ")
@@ -191,11 +200,14 @@ class EngineServer:
 
     def _admit(self, slot: int, job: _Pending) -> None:
         tok = self.tokenizer
-        window = np.zeros(mel_ops.N_SAMPLES, np.float32)
-        n = min(len(job.audio), mel_ops.N_SAMPLES)
+        n_frames = self.audio_ctx * 2
+        n_samples = n_frames * mel_ops.HOP_LENGTH
+        window = np.zeros(n_samples, np.float32)
+        n = min(len(job.audio), n_samples)
         window[:n] = job.audio[:n]
         mel = frontend_pallas.log_mel(jnp.asarray(window),
-                                      n_mels=self.cfg.n_mels)[None]
+                                      n_mels=self.cfg.n_mels,
+                                      n_frames=n_frames)[None]
         feats = self._encode(self.params, mel.astype(self.state.xkv_k.dtype))
         xkv = self._xkv(self.params, feats)
 

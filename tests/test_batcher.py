@@ -181,3 +181,24 @@ def test_engine_server_threaded(setup):
         assert isinstance(res.text, str)
     finally:
         server.stop()
+
+
+def test_server_audio_ctx_restriction(setup):
+    """audio_ctx < 1500 shrinks xkv slots and still decodes correctly."""
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                          dtype=jnp.float32, tokenizer=tok, audio_ctx=256,
+                          max_decode_len=64)
+    assert server.state.xkv_k.shape[3] == 256
+    assert server.state.cache_k.shape[3] == 64
+    rng = np.random.default_rng(11)
+    sid = server.open_session()
+    audio = (0.2 * rng.standard_normal(16000 * 3)).astype(np.float32)
+    server.submit_window(sid, audio)
+    for _ in range(120):
+        server.run_once()
+        if server._results[sid].qsize():
+            break
+    res = server.poll(sid)
+    assert res is not None
+    assert 0.0 <= res.no_speech_prob <= 1.0
