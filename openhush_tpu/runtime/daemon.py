@@ -502,6 +502,52 @@ class Daemon:
 # CLI entry points (dispatched from daemon_cli)
 # ---------------------------------------------------------------------------
 
+def build_preprocess(audio_cfg):
+    """Per-window preprocess (parity: worker preprocess order denoise →
+    normalize → compress → limit, src/queue/worker.rs:196-240). Uses the
+    native C++ DSP when available, lax.scan otherwise; denoise keeps a
+    streaming noise-floor state across windows."""
+    import numpy as np
+
+    from openhush_tpu.ops import denoise as dn
+    from openhush_tpu.ops import dsp
+    from openhush_tpu.utils import native
+
+    state = {"dn": None}
+
+    def preprocess(audio: "np.ndarray") -> "np.ndarray":
+        y = np.asarray(audio, np.float32)
+        if audio_cfg.noise_reduction_enabled:
+            y, state["dn"] = dn.denoise(
+                y, strength=audio_cfg.noise_reduction_strength,
+                state=state["dn"])
+        if audio_cfg.normalization_enabled:
+            y = np.asarray(dsp.normalize_rms(
+                y, audio_cfg.normalization_target_db))
+        if audio_cfg.compression_enabled:
+            nat = native.compress(
+                y, audio_cfg.compression_threshold_db,
+                audio_cfg.compression_ratio,
+                audio_cfg.compression_attack_ms,
+                audio_cfg.compression_release_ms,
+                audio_cfg.compression_makeup_gain_db)
+            y = nat if nat is not None else np.asarray(dsp.compress(
+                y, audio_cfg.compression_threshold_db,
+                audio_cfg.compression_ratio,
+                audio_cfg.compression_attack_ms,
+                audio_cfg.compression_release_ms,
+                audio_cfg.compression_makeup_gain_db))
+        if audio_cfg.limiter_enabled:
+            nat = native.limit(y, audio_cfg.limiter_ceiling_db,
+                               audio_cfg.limiter_release_ms)
+            y = nat if nat is not None else np.asarray(dsp.limit(
+                y, audio_cfg.limiter_ceiling_db,
+                audio_cfg.limiter_release_ms))
+        return y
+
+    return preprocess
+
+
 def _build_daemon(foreground: bool = True) -> Daemon:
     import jax.numpy as jnp
 
@@ -523,8 +569,10 @@ def _build_daemon(foreground: bool = True) -> Daemon:
     chunk_secs = (config.queue.chunk_interval_secs
                   if config.queue.chunk_interval_secs > 0 else 5.0)
     audio_ctx = min(1500, max(256, int(-(-chunk_secs * 50 * 2 // 64)) * 64))
+    preprocess = build_preprocess(config.audio)
     server = EngineServer(eng.cfg, eng.params, tokenizer=eng.tokenizer,
-                          audio_ctx=audio_ctx, max_decode_len=256)
+                          audio_ctx=audio_ctx, max_decode_len=256,
+                          preprocess=preprocess)
     try:
         source = SoundDeviceSource(device=config.audio.device or None,
                                    channels=config.audio.channels or None)

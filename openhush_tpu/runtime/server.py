@@ -71,7 +71,8 @@ class EngineServer:
                  inner_steps: int = 8, dtype=jnp.bfloat16,
                  tokenizer: Optional[WhisperTokenizer] = None,
                  audio_ctx: Optional[int] = None,
-                 max_decode_len: Optional[int] = None):
+                 max_decode_len: Optional[int] = None,
+                 preprocess=None):
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
@@ -85,6 +86,9 @@ class EngineServer:
         self.state = batcher.init_state(cfg, n_slots, dtype=dtype,
                                         max_len=max_decode_len,
                                         audio_ctx=self.audio_ctx)
+        # Per-window preprocessing (denoise/normalize/compress/limit —
+        # the reference worker's preprocess_audio, src/queue/worker.rs:196).
+        self.preprocess = preprocess
         self._suppress = jnp.asarray(decoding.build_suppress_mask(
             self.tokenizer, cfg, decoding.DecodingOptions()))
         blank = self.tokenizer.encode(" ")
@@ -200,6 +204,11 @@ class EngineServer:
 
     def _admit(self, slot: int, job: _Pending) -> None:
         tok = self.tokenizer
+        if self.preprocess is not None:
+            try:
+                job.audio = self.preprocess(job.audio)
+            except Exception as e:  # noqa: BLE001 — degrade, don't drop audio
+                log.warning("preprocess failed (%s); using raw audio", e)
         n_frames = self.audio_ctx * 2
         n_samples = n_frames * mel_ops.HOP_LENGTH
         window = np.zeros(n_samples, np.float32)
