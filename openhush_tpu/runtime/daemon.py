@@ -270,6 +270,13 @@ class Daemon:
                           if self.config.transcription.translate
                           else "transcribe"),
                     timestamps=False)
+            elif not getattr(self, "_backpressure_notified", False):
+                # Desktop heads-up on drops (parity: backpressure
+                # notifications via notify-rust).
+                from openhush_tpu.utils.platform import notify
+                notify("OpenHush", "Transcription queue full — audio "
+                       "chunks are being dropped", urgency="critical")
+                self._backpressure_notified = True
             self._chunk_id += 1
 
     @staticmethod
@@ -325,6 +332,14 @@ class Daemon:
         self.source.start(self._on_audio)
         if hasattr(self.server, "start"):
             self.server.start()
+        # SIGHUP → config reload (parity: daemon.rs:1240-1244,417-428);
+        # SIGTERM/SIGINT → graceful stop. Only from the main thread.
+        if threading.current_thread() is threading.main_thread():
+            signal.signal(signal.SIGHUP, lambda *a: self.reload_config())
+            signal.signal(signal.SIGTERM,
+                          lambda *a: self._stop_event.set())
+            signal.signal(signal.SIGINT,
+                          lambda *a: self._stop_event.set())
         started = time.monotonic()
         self._last_chunk_time = started
         last_vad_tick = started
@@ -368,6 +383,35 @@ class Daemon:
         return {"start": self.start_recording,
                 "stop": self.stop_recording,
                 "toggle": self.toggle_recording}[action]()
+
+    def reload_config(self) -> None:
+        """Reload hot-swappable config sections (SIGHUP). Model/audio-device
+        changes need a restart — same constraint as the reference."""
+        from openhush_tpu.utils.config import Config
+        try:
+            new = Config.load_or_default()
+        except Exception as e:  # noqa: BLE001
+            log.warning("Config reload failed: %s", e)
+            return
+        errors = new.validate()
+        if errors:
+            log.warning("Config reload rejected: %s", "; ".join(errors))
+            return
+        self.config.vad = new.vad
+        self.config.queue = new.queue
+        self.config.output = new.output
+        self.config.vocabulary = new.vocabulary
+        self.config.correction = new.correction
+        self.config.translation = new.translation
+        self.config.transcription.language = new.transcription.language
+        self.config.transcription.translate = new.transcription.translate
+        if new.queue.chunk_interval_secs > 0:
+            self.chunk_interval = new.queue.chunk_interval_secs
+        from openhush_tpu.text.vocabulary import VocabularyManager
+        self.vocabulary = VocabularyManager(
+            new.vocabulary.path or None,
+            new.vocabulary.reload_interval_secs)
+        log.info("Configuration reloaded (SIGHUP)")
 
     def _on_audio(self, samples: np.ndarray) -> None:
         self.ring.push(samples)
@@ -416,6 +460,9 @@ class Daemon:
             if self.wake_detector.detected(score):
                 log.info("Wake word detected (score %.2f) — starting "
                          "continuous dictation", score)
+                from openhush_tpu.utils.platform import notify, play_sound
+                play_sound("message")      # audible cue (parity: beep)
+                notify("OpenHush", "Listening…")
                 self.start_continuous()
                 return
 

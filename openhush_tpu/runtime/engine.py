@@ -100,7 +100,8 @@ class WhisperEngine:
         path = model_path or os.path.join(default_model_dir(),
                                           f"{model}.npz")
         if os.path.exists(path):
-            params = load_npz(path)
+            from openhush_tpu.utils.checkpoint import load_params
+            params = load_params(path)     # npz file or Orbax directory
             self.params = jax.tree.map(
                 lambda a: jnp.asarray(a, self.dtype), params)
             self.random_init = False
