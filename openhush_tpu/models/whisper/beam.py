@@ -74,7 +74,10 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
     V = cfg.n_vocab_padded
 
     # --- prefill on B rows, then tile to B*K ---
-    cache0 = whisper.init_kv_cache(cfg, B, dtype=cross_kv.k.dtype)
+    act_dtype = params["decoder"]["pos_emb"].dtype
+    cache_dtype = (cross_kv.k.dtype if cross_kv.k.dtype != jnp.int8
+                   else act_dtype)
+    cache0 = whisper.init_kv_cache(cfg, B, dtype=cache_dtype)
     logits0, cache0 = whisper.decode(cfg, params, prompt, jnp.int32(0),
                                      cache0, cross_kv)
     sot_probs = jax.nn.softmax(logits0[:, sot_index].astype(jnp.float32), -1)
@@ -85,7 +88,11 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
         return jnp.repeat(x, K, axis=1)
 
     cache = whisper.KVCache(tile(cache0.k), tile(cache0.v))
-    xkv = whisper.KVCache(tile(cross_kv.k), tile(cross_kv.v))
+    if isinstance(cross_kv, whisper.QuantKVCache):
+        xkv = whisper.QuantKVCache(tile(cross_kv.k), tile(cross_kv.k_scale),
+                                   tile(cross_kv.v), tile(cross_kv.v_scale))
+    else:
+        xkv = whisper.KVCache(tile(cross_kv.k), tile(cross_kv.v))
 
     tokens = jnp.full((B, K, L), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(

@@ -255,7 +255,7 @@ def decode_greedy(cfg: WhisperConfig, params, cross_kv,
     cache_len = min(cfg.n_text_ctx,
                     ((len(prompt) + max_new + 63) // 64) * 64)
     cache_dtype = (cross_kv.k.dtype if cross_kv.k.dtype != jnp.int8
-                   else jnp.bfloat16)
+                   else params["decoder"]["pos_emb"].dtype)
     cache = whisper.init_kv_cache(cfg, B, dtype=cache_dtype,
                                   max_len=cache_len)
     blank = tok.encode(" ")

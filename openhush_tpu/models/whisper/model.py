@@ -153,9 +153,41 @@ def _attend(q, k, v, mask=None):
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _mm(x, w):
+    """Matmul against a weight that is either a plain array or an int8
+    per-output-channel quantized dict {'q': int8 [..,in,out], 's': [..,out]}.
+    int8 weights halve the per-decode-step HBM read of the parameters (the
+    single largest term); the scale folds in after the matmul."""
+    if isinstance(w, dict):
+        y = jnp.dot(x, w["q"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y * w["s"].astype(jnp.float32)).astype(x.dtype)
+    return x @ w
+
+
+def quantize_decoder_weights(params: Params) -> Params:
+    """Return params with every decoder layer matrix quantized to int8 with
+    per-output-channel scales (whisper.cpp's Q8 analogue). Encoder weights
+    stay bf16 — they're read once per window, not once per token."""
+    out = dict(params)
+    layers = dict(params["decoder"]["layers"])
+    for name, w in list(layers.items()):
+        if name.endswith("_w"):
+            w32 = jnp.asarray(w, jnp.float32)
+            scale = jnp.max(jnp.abs(w32), axis=-2, keepdims=False) / 127.0
+            scale = jnp.maximum(scale, 1e-10)
+            q = jnp.clip(jnp.round(w32 / scale[..., None, :]), -127, 127
+                         ).astype(jnp.int8)
+            layers[name] = {"q": q, "s": scale}
+    dec = dict(params["decoder"])
+    dec["layers"] = layers
+    out["decoder"] = dec
+    return out
+
+
 def _mlp(x, lp):
-    h = jax.nn.gelu(x @ lp["fc1_w"] + lp["fc1_b"], approximate=False)
-    return h @ lp["fc2_w"] + lp["fc2_b"]
+    h = jax.nn.gelu(_mm(x, lp["fc1_w"]) + lp["fc1_b"], approximate=False)
+    return _mm(h, lp["fc2_w"]) + lp["fc2_b"]
 
 
 # ---------------------------------------------------------------------------
@@ -226,8 +258,8 @@ def compute_cross_kv(cfg: WhisperConfig, params: Params,
     n_head = cfg.n_text_head
 
     def per_layer(_, lp):
-        k = _split_heads(audio_features @ lp["xk_w"], n_head)
-        v = _split_heads(audio_features @ lp["xv_w"] + lp["xv_b"], n_head)
+        k = _split_heads(_mm(audio_features, lp["xk_w"]), n_head)
+        v = _split_heads(_mm(audio_features, lp["xv_w"]) + lp["xv_b"], n_head)
         return None, (k, v)
 
     _, (xk, xv) = jax.lax.scan(per_layer, None, dec)
@@ -270,8 +302,8 @@ def compute_cross_kv_quant(cfg: WhisperConfig, params: Params,
     n_head = cfg.n_text_head
 
     def per_layer(_, lp):
-        k = _split_heads(audio_features @ lp["xk_w"], n_head)
-        v = _split_heads(audio_features @ lp["xv_w"] + lp["xv_b"], n_head)
+        k = _split_heads(_mm(audio_features, lp["xk_w"]), n_head)
+        v = _split_heads(_mm(audio_features, lp["xv_w"]) + lp["xv_b"], n_head)
         kq, ks = _quantize_rows(k)
         vq, vs = _quantize_rows(v)
         return None, (kq, ks, vq, vs)
@@ -347,20 +379,20 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
             lp, k_cache, v_cache, xk, xv = scanned
         # --- causal self-attention against the cache ---
         h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
-        q = _split_heads(h @ lp["q_w"] + lp["q_b"], n_head)
-        k_new = _split_heads(h @ lp["k_w"], n_head)
-        v_new = _split_heads(h @ lp["v_w"] + lp["v_b"], n_head)
+        q = _split_heads(_mm(h, lp["q_w"]) + lp["q_b"], n_head)
+        k_new = _split_heads(_mm(h, lp["k_w"]), n_head)
+        v_new = _split_heads(_mm(h, lp["v_w"]) + lp["v_b"], n_head)
         k_cache = _update_cache(k_cache, k_new)
         v_cache = _update_cache(v_cache, v_new)
-        x = x + _merge_heads(_attend(q, k_cache, v_cache, self_mask)) @ lp["o_w"] + lp["o_b"]
+        x = x + _mm(_merge_heads(_attend(q, k_cache, v_cache, self_mask)), lp["o_w"]) + lp["o_b"]
         # --- cross-attention over audio features ---
         h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
-        xq = _split_heads(h @ lp["xq_w"] + lp["xq_b"], n_head)
+        xq = _split_heads(_mm(h, lp["xq_w"]) + lp["xq_b"], n_head)
         if quantized:
             attn = _attend_quant(xq, xk, xks, xv, xvs, x.dtype)
         else:
             attn = _attend(xq, xk, xv)
-        x = x + _merge_heads(attn) @ lp["xo_w"] + lp["xo_b"]
+        x = x + _mm(_merge_heads(attn), lp["xo_w"]) + lp["xo_b"]
         # --- MLP ---
         h = layer_norm(x, lp["ln3_scale"], lp["ln3_bias"])
         x = x + _mlp(h, lp)

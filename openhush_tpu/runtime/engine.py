@@ -90,7 +90,8 @@ class WhisperEngine:
                  language: str = "auto", translate: bool = False,
                  dtype: str = "bfloat16",
                  vocab_dir: Optional[str] = None,
-                 allow_random_init: bool = False):
+                 allow_random_init: bool = False,
+                 quantize_weights: Optional[bool] = None):
         self.cfg = get_config(model)
         self.model_name = model
         self.language = language
@@ -115,6 +116,13 @@ class WhisperEngine:
                 f"Convert a HF checkpoint with: "
                 f"python -m openhush_tpu.cli model convert {model} "
                 f"--hf-path /path/to/hf_checkpoint")
+        if quantize_weights is None:
+            quantize_weights = os.environ.get(
+                "OPENHUSH_INT8_WEIGHTS", "0") == "1"
+        if quantize_weights:
+            # int8 per-output-channel decoder weights: halves the largest
+            # per-token HBM read; prob diff ~1e-4 vs bf16.
+            self.params = whisper.quantize_decoder_weights(self.params)
         self.tokenizer = WhisperTokenizer.for_model(
             model, vocab_dir or os.path.dirname(path))
         self._encode = jax.jit(

@@ -73,3 +73,21 @@ def test_beam_batch(setup):
     assert res.tokens.shape[0] == 2
     # Identical audio rows → identical beams.
     np.testing.assert_array_equal(res.tokens[0], res.tokens[1])
+
+
+def test_beam_with_quantized_cross_kv(setup):
+    """Beam over int8 cross-KV (the bf16 production path) must behave like
+    beam over fp cross-KV."""
+    cfg, params, xkv, tok = setup
+    import numpy as np
+    from openhush_tpu.models.whisper import model as whisper_model
+    # Rebuild quantized xkv from the same features used for `xkv`.
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.5
+    feats = whisper_model.encode(cfg, params, mel)
+    xkv_q = whisper_model.compute_cross_kv_quant(cfg, params, feats)
+    opts = decoding.DecodingOptions(beam_size=2, max_new_tokens=12,
+                                    without_timestamps=True)
+    r_fp = beam.decode_beam(cfg, params, xkv, tok, opts, languages=["en"])
+    r_q = beam.decode_beam(cfg, params, xkv_q, tok, opts, languages=["en"])
+    np.testing.assert_array_equal(r_fp.tokens, r_q.tokens)
