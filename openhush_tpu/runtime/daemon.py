@@ -329,6 +329,15 @@ class Daemon:
             except OSError as e:
                 log.warning("REST API failed to start: %s", e)
                 self._api = None
+        # D-Bus service (Linux desktop control plane; graceful when no
+        # session bus — parity: daemon.rs:877-886 D-Bus init warning path).
+        self._dbus = None
+        try:
+            from openhush_tpu.utils.dbus import DbusService
+            self._dbus = DbusService(self._handle_dbus)
+            log.info("D-Bus service registered: org.openhush.Daemon1")
+        except Exception as e:  # noqa: BLE001
+            log.info("D-Bus unavailable (%s); socket/REST control only", e)
         self.source.start(self._on_audio)
         if hasattr(self.server, "start"):
             self.server.start()
@@ -376,8 +385,42 @@ class Daemon:
             self._api.stop()
         if getattr(self, "_hotkey", None) is not None:
             self._hotkey.stop()
+        if getattr(self, "_dbus", None) is not None:
+            self._dbus.stop()
         self._ipc.stop()
         remove_pid_file()
+
+    def _handle_dbus(self, member: str):
+        """org.openhush.Daemon1 methods (parity: src/dbus/interface.rs:35)."""
+        if member == "StartRecording":
+            ok = self.start_recording()
+            self._emit_recording_changed()
+            return ("b", ok)
+        if member == "StopRecording":
+            ok = self.stop_recording()
+            self._emit_recording_changed()
+            return ("b", ok)
+        if member == "ToggleRecording":
+            ok = self.toggle_recording()
+            self._emit_recording_changed()
+            return ("b", ok)
+        if member in ("LoadModel", "UnloadModel"):
+            return ("b", True)   # engine server keeps the model resident
+        if member == "GetStatus":
+            return ("s", json.dumps(dataclasses.asdict(self.status())))
+        if member == "GetQueueDepth":
+            return ("u", self.tracker.pending_count)
+        if member == "GetVersion":
+            return ("s", __version__)
+        raise ValueError(f"unknown method {member!r}")
+
+    def _emit_recording_changed(self) -> None:
+        if getattr(self, "_dbus", None) is not None:
+            try:
+                self._dbus.emit_recording_changed(
+                    self.state != DaemonState.IDLE)
+            except Exception:  # noqa: BLE001
+                pass
 
     def _api_command(self, action: str) -> bool:
         return {"start": self.start_recording,
