@@ -253,5 +253,18 @@ def main(argv=None) -> int:
     return daemon_cli.dispatch(args.command, getattr(args, "args", []))
 
 
+def run() -> int:
+    """Entry point with Unix-pipe hygiene: `openhush status | head` must
+    exit quietly (SIGPIPE convention, exit 141), not crash-report."""
+    try:
+        return main()
+    except BrokenPipeError:
+        try:
+            sys.stdout.close()
+        except Exception:  # noqa: BLE001
+            pass
+        return 141
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run())

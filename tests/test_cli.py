@@ -80,7 +80,20 @@ def test_transcribe_json_random_init(tmp_path):
     assert data["real_time_factor"] > 0
 
 
-def test_unimplemented_commands_report_honestly():
-    r = run_cli("preferences")
-    assert r.returncode == 2
-    assert "not available yet" in r.stderr
+def test_all_advertised_commands_dispatch(tmp_path):
+    """Every subcommand in --help must resolve to a real handler (the
+    'not available yet' stub path should be dead)."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    env["HOME"] = str(tmp_path)
+    env["XDG_CONFIG_HOME"] = str(tmp_path / ".config")
+    env["OPENHUSH_CONFIG"] = str(tmp_path / "config.toml")
+    env.pop("EDITOR", None)
+    env.pop("VISUAL", None)
+    r = subprocess.run(
+        [sys.executable, "-m", "openhush_tpu.cli", "preferences"],
+        capture_output=True, text=True, timeout=120, env=env)
+    assert r.returncode == 0
+    assert "config.toml" in r.stdout
+    assert "not available yet" not in r.stderr
