@@ -39,8 +39,10 @@ NEG_INF = decoding.NEG_INF
 class SlotState(NamedTuple):
     cache_k: jax.Array
     cache_v: jax.Array
-    xkv_k: jax.Array
+    xkv_k: jax.Array          # int8 [L, B, H, A, Dh]
+    xkv_ks: jax.Array         # f32  [L, B, H, A] per-position scales
     xkv_v: jax.Array
+    xkv_vs: jax.Array
     tokens: jax.Array        # [B, n_ctx] int32
     pos: jax.Array           # [B] int32 — next cache write offset
     prompt_len: jax.Array    # [B] int32
@@ -71,8 +73,12 @@ def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
     return SlotState(
         cache_k=jnp.zeros((L, B, H, T, Dh), dtype),
         cache_v=jnp.zeros((L, B, H, T, Dh), dtype),
-        xkv_k=jnp.zeros((L, B, H, A, Dh), dtype),
-        xkv_v=jnp.zeros((L, B, H, A, Dh), dtype),
+        # Cross-KV slots are ALWAYS int8 (halves the dominant per-step read
+        # and doubles session capacity; argmax-identical output).
+        xkv_k=jnp.zeros((L, B, H, A, Dh), jnp.int8),
+        xkv_ks=jnp.zeros((L, B, H, A), jnp.float32),
+        xkv_v=jnp.zeros((L, B, H, A, Dh), jnp.int8),
+        xkv_vs=jnp.zeros((L, B, H, A), jnp.float32),
         tokens=jnp.full((B, T), sp.eot, jnp.int32),
         pos=jnp.zeros((B,), jnp.int32),
         prompt_len=jnp.zeros((B,), jnp.int32),
@@ -92,11 +98,12 @@ def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
 @functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
                    donate_argnames=("state",))
 def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
-          new_xk: jax.Array, new_xv: jax.Array, prompt: jax.Array,
+          new_xkv: whisper.QuantKVCache, prompt: jax.Array,
           use_timestamps: jax.Array, *, prompt_len: int) -> SlotState:
     """Install a session into `slot` and prefill its prompt.
 
-    new_xk/new_xv: [L, 1, H, 1500, Dh]; prompt: [1, prompt_len]."""
+    new_xkv: quantized cross-KV for ONE row ([L, 1, H, A, Dh] int8 +
+    [L, 1, H, A] scales); prompt: [1, prompt_len]."""
     sp = WhisperTokenizer(cfg.n_langs).special
     L, B = state.cache_k.shape[:2]
     T = state.tokens.shape[1]
@@ -104,8 +111,10 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
     upd = lambda buf, val: jax.lax.dynamic_update_slice(
         buf, val.astype(buf.dtype),
         (0, slot) + (0,) * (buf.ndim - 2))
-    xkv_k = upd(state.xkv_k, new_xk)
-    xkv_v = upd(state.xkv_v, new_xv)
+    xkv_k = upd(state.xkv_k, new_xkv.k)
+    xkv_ks = upd(state.xkv_ks, new_xkv.k_scale)
+    xkv_v = upd(state.xkv_v, new_xkv.v)
+    xkv_vs = upd(state.xkv_vs, new_xkv.v_scale)
     zero_row = jnp.zeros_like(
         jax.lax.dynamic_slice_in_dim(state.cache_k, 0, 1, axis=1))
     cache_k = jax.lax.dynamic_update_slice(
@@ -117,8 +126,7 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
     row_cache = whisper.KVCache(
         jax.lax.dynamic_slice_in_dim(cache_k, slot, 1, axis=1),
         jax.lax.dynamic_slice_in_dim(cache_v, slot, 1, axis=1))
-    row_xkv = whisper.KVCache(new_xk.astype(state.xkv_k.dtype),
-                              new_xv.astype(state.xkv_v.dtype))
+    row_xkv = new_xkv
     logits, row_cache = whisper.decode(cfg, params, prompt, jnp.int32(0),
                                        row_cache, row_xkv)
     cache_k = jax.lax.dynamic_update_slice(cache_k, row_cache.k,
@@ -132,7 +140,8 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
     set1 = lambda a, v: jax.lax.dynamic_update_slice(
         a, jnp.asarray(v).reshape((1,) + a.shape[1:]), (slot,) + (0,) * (a.ndim - 1))
     return state._replace(
-        cache_k=cache_k, cache_v=cache_v, xkv_k=xkv_k, xkv_v=xkv_v,
+        cache_k=cache_k, cache_v=cache_v, xkv_k=xkv_k, xkv_ks=xkv_ks,
+        xkv_v=xkv_v, xkv_vs=xkv_vs,
         tokens=jax.lax.dynamic_update_slice(state.tokens, tokens_row,
                                             (slot, 0)),
         pos=set1(state.pos, jnp.int32(prompt_len)),
@@ -213,7 +222,8 @@ def step(cfg: WhisperConfig, params, state: SlotState,
         tokens = jnp.where(live[:, None], tokens, state.tokens)
 
         cache = whisper.KVCache(state.cache_k, state.cache_v)
-        xkv = whisper.KVCache(state.xkv_k, state.xkv_v)
+        xkv = whisper.QuantKVCache(state.xkv_k, state.xkv_ks,
+                                   state.xkv_v, state.xkv_vs)
         logits, cache = whisper.decode(cfg, params, nxt[:, None], state.pos,
                                        cache, xkv)
         pos = state.pos + jnp.where(live & ~finished, 1, 0)

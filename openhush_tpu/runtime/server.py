@@ -93,8 +93,11 @@ class EngineServer:
             self.tokenizer, cfg, decoding.DecodingOptions()))
         blank = self.tokenizer.encode(" ")
         self._blank_token = int(blank[0]) if blank else 220
+        self._act_dtype = params["decoder"]["pos_emb"].dtype
         self._encode = jax.jit(lambda p, m: whisper.encode(cfg, p, m))
-        self._xkv = jax.jit(lambda p, f: whisper.compute_cross_kv(cfg, p, f))
+        # Slots store int8 cross-KV (see batcher.init_state).
+        self._xkv = jax.jit(
+            lambda p, f: whisper.compute_cross_kv_quant(cfg, p, f))
 
         self._pending: queue.Queue[_Pending] = queue.Queue()
         self._slots: dict[int, _SlotInfo] = {}
@@ -217,7 +220,7 @@ class EngineServer:
         mel = frontend_pallas.log_mel(jnp.asarray(window),
                                       n_mels=self.cfg.n_mels,
                                       n_frames=n_frames)[None]
-        feats = self._encode(self.params, mel.astype(self.state.xkv_k.dtype))
+        feats = self._encode(self.params, mel.astype(self._act_dtype))
         xkv = self._xkv(self.params, feats)
 
         language = job.language
@@ -228,7 +231,7 @@ class EngineServer:
         prompt = tok.sot_sequence(language, job.task,
                                   timestamps=job.timestamps)
         self.state = batcher.admit(
-            self.cfg, self.params, self.state, jnp.int32(slot), xkv.k, xkv.v,
+            self.cfg, self.params, self.state, jnp.int32(slot), xkv,
             jnp.asarray([prompt], jnp.int32), jnp.asarray(job.timestamps),
             prompt_len=len(prompt))
         with self._lock:

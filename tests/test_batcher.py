@@ -22,10 +22,12 @@ def setup():
     return cfg, params, tok
 
 
-def _xkv_for(cfg, params, seed):
+def _xkv_for(cfg, params, seed, quant=False):
     rng = np.random.default_rng(seed)
     mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.5
     feats = whisper.encode(cfg, params, mel)
+    if quant:
+        return whisper.compute_cross_kv_quant(cfg, params, feats)
     return whisper.compute_cross_kv(cfg, params, feats)
 
 
@@ -67,6 +69,7 @@ def test_batcher_matches_oneshot_greedy(setup):
     one-shot greedy loop on the same audio."""
     cfg, params, tok = setup
     xkv = _xkv_for(cfg, params, seed=7)
+    xkv_q = _xkv_for(cfg, params, seed=7, quant=True)
 
     opts = decoding.DecodingOptions(max_new_tokens=24)
     ref = decoding.decode_greedy(cfg, params, xkv, tok, opts,
@@ -80,7 +83,7 @@ def test_batcher_matches_oneshot_greedy(setup):
 
     state = batcher.init_state(cfg, n_slots=4, dtype=jnp.float32)
     prompt = tok.sot_sequence("en", "transcribe")
-    state = batcher.admit(cfg, params, state, jnp.int32(2), xkv.k, xkv.v,
+    state = batcher.admit(cfg, params, state, jnp.int32(2), xkv_q,
                           jnp.asarray([prompt], jnp.int32),
                           jnp.asarray(True), prompt_len=len(prompt))
     suppress = jnp.asarray(decoding.build_suppress_mask(
@@ -100,8 +103,8 @@ def test_batcher_matches_oneshot_greedy(setup):
 def test_batcher_concurrent_slots_independent(setup):
     """Two sessions admitted at different times must not affect each other."""
     cfg, params, tok = setup
-    xkv_a = _xkv_for(cfg, params, seed=1)
-    xkv_b = _xkv_for(cfg, params, seed=2)
+    xkv_a = _xkv_for(cfg, params, seed=1, quant=True)
+    xkv_b = _xkv_for(cfg, params, seed=2, quant=True)
     suppress = jnp.asarray(decoding.build_suppress_mask(
         tok, cfg, decoding.DecodingOptions()))
     prompt = tok.sot_sequence("en", "transcribe")
@@ -109,18 +112,18 @@ def test_batcher_concurrent_slots_independent(setup):
 
     def run(mode):
         state = batcher.init_state(cfg, n_slots=2, dtype=jnp.float32)
-        state = batcher.admit(cfg, params, state, jnp.int32(0), xkv_a.k,
-                              xkv_a.v, p, jnp.asarray(True),
+        state = batcher.admit(cfg, params, state, jnp.int32(0), xkv_a,
+                              p, jnp.asarray(True),
                               prompt_len=len(prompt))
         if mode == "together":
-            state = batcher.admit(cfg, params, state, jnp.int32(1), xkv_b.k,
-                                  xkv_b.v, p, jnp.asarray(True),
+            state = batcher.admit(cfg, params, state, jnp.int32(1), xkv_b,
+                                  p, jnp.asarray(True),
                                   prompt_len=len(prompt))
         state = batcher.step(cfg, params, state, suppress, inner_steps=4,
                              blank_token=tok.encode(" ")[0])
         if mode == "staggered":
-            state = batcher.admit(cfg, params, state, jnp.int32(1), xkv_b.k,
-                                  xkv_b.v, p, jnp.asarray(True),
+            state = batcher.admit(cfg, params, state, jnp.int32(1), xkv_b,
+                                  p, jnp.asarray(True),
                                   prompt_len=len(prompt))
         for _ in range(2):
             state = batcher.step(cfg, params, state, suppress, inner_steps=4,
