@@ -163,6 +163,13 @@ class Daemon:
             log.warning("Actions disabled: %s", e)
             self.actions = ActionRunner([])
 
+        # Per-app profiles (parity: context.rs + Config::find_profile).
+        from openhush_tpu.utils.context import (AppContext,
+                                                profiles_from_config)
+        self.app_context = AppContext(
+            profiles_from_config(list(getattr(config, "profiles", []))))
+        self._profile_vocab: dict[str, VocabularyManager] = {}
+
         # Wake word: always-on while IDLE (parity: daemon.rs:2105-2179).
         self.wake_detector = None
         self._wake_pos = 0
@@ -528,11 +535,30 @@ class Daemon:
 
     def _process_and_output(self, ready: ChunkResult) -> None:
         """vocab → LLM correction → translation → output + actions
-        (parity: process_and_output, daemon.rs:459-560)."""
-        self.vocabulary.check_reload()
-        text = self.vocabulary.apply(ready.text)
+        (parity: process_and_output, daemon.rs:459-560), with per-app
+        profile overrides for vocabulary/filler level."""
+        profile = (self.app_context.refresh()
+                   if self.app_context.profiles else None)
+        vocab = self.vocabulary
+        if profile is not None and profile.vocabulary_path:
+            from openhush_tpu.text.vocabulary import VocabularyManager
+            vocab = self._profile_vocab.setdefault(
+                profile.vocabulary_path,
+                VocabularyManager(profile.vocabulary_path))
+        vocab.check_reload()
+        text = vocab.apply(ready.text)
         if self.corrector is not None:
-            text = self.corrector.correct(text)
+            if profile is not None and profile.filler_mode:
+                import dataclasses as _dc
+                old = self.corrector.config
+                self.corrector.config = _dc.replace(
+                    old, filler_mode=profile.filler_mode)
+                try:
+                    text = self.corrector.correct(text)
+                finally:
+                    self.corrector.config = old
+            else:
+                text = self.corrector.correct(text)
         if self.translator is not None:
             pieces = self.translator.add_chunk(text)
             if ready.is_final:

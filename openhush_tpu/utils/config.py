@@ -171,6 +171,9 @@ class Config:
     summarization: SummarizationConfig = dataclasses.field(
         default_factory=SummarizationConfig)
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
+    # Per-app overrides (parity: AppProfile list, src/config.rs:223-263):
+    # [[profiles]] name / app_match / vocabulary_path / filler_mode / preset.
+    profiles: list = dataclasses.field(default_factory=list)
     extra: dict = dataclasses.field(default_factory=dict)
 
     # -- load/save -----------------------------------------------------------
@@ -190,7 +193,9 @@ class Config:
         known = {f.name: f for f in dataclasses.fields(cls)
                  if f.name != "extra"}
         for section, value in raw.items():
-            if section in known and isinstance(value, dict):
+            if section == "profiles" and isinstance(value, list):
+                cfg.profiles = value
+            elif section in known and isinstance(value, dict):
                 target = getattr(cfg, section)
                 field_names = {f.name for f in dataclasses.fields(target)}
                 for k, v in value.items():
@@ -205,12 +210,14 @@ class Config:
     def to_dict(self) -> dict:
         out: dict[str, Any] = {}
         for f in dataclasses.fields(self):
-            if f.name == "extra":
+            if f.name in ("extra", "profiles"):
                 continue
             section = getattr(self, f.name)
             d = dataclasses.asdict(section)
             d.pop("PRESETS", None)
             out[f.name] = d
+        if self.profiles:
+            out["profiles"] = list(self.profiles)
         for section, value in self.extra.items():
             if section in out and isinstance(value, dict):
                 out[section].update(value)
@@ -262,9 +269,15 @@ def dumps_toml(d: dict) -> str:
         s = str(v).replace("\\", "\\\\").replace('"', '\\"')
         return f'"{s}"'
 
+    def is_table_array(v):
+        return (isinstance(v, list) and v
+                and all(isinstance(x, dict) for x in v))
+
     def walk(prefix: str, table: dict):
-        scalars = {k: v for k, v in table.items() if not isinstance(v, dict)}
+        scalars = {k: v for k, v in table.items()
+                   if not isinstance(v, dict) and not is_table_array(v)}
         subs = {k: v for k, v in table.items() if isinstance(v, dict)}
+        arrays = {k: v for k, v in table.items() if is_table_array(v)}
         if prefix:
             lines.append(f"[{prefix}]")
         for k, v in scalars.items():
@@ -273,6 +286,13 @@ def dumps_toml(d: dict) -> str:
             lines.append("")
         for k, v in subs.items():
             walk(f"{prefix}.{k}" if prefix else k, v)
+        for k, entries in arrays.items():
+            name = f"{prefix}.{k}" if prefix else k
+            for entry in entries:
+                lines.append(f"[[{name}]]")
+                for ek, ev in entry.items():
+                    lines.append(f"{ek} = {fmt(ev)}")
+                lines.append("")
 
     walk("", d)
     return "\n".join(lines)

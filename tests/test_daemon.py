@@ -154,3 +154,50 @@ def test_ipc_server_rejects_garbage(tmp_path):
         s.close()
     finally:
         srv.stop()
+
+
+def test_app_profile_vocabulary_override(server, tmp_path, monkeypatch):
+    """A matching app profile must swap the vocabulary used for output."""
+    from openhush_tpu.runtime.tracker import ChunkResult
+    from openhush_tpu.utils import platform as plat
+
+    vocab = tmp_path / "code_vocab.toml"
+    vocab.write_text('[subs]\n"foo" = "BAR"\n')
+    outputs = []
+    cfg = Config()
+    cfg.transcription.model = "test"
+    cfg.profiles = [{"name": "code", "app_match": "editor",
+                     "vocabulary_path": str(vocab)}]
+    d = Daemon(cfg, server, FileSource(_audio(0.5), realtime=False),
+               output=outputs.append, ipc_path=str(tmp_path / "p.sock"))
+    monkeypatch.setattr(plat, "active_window",
+                        lambda: {"app": "MyEditor", "title": "x"})
+    d._session_id = server.open_session()
+    d._process_and_output(ChunkResult(text="say foo now", sequence_id=1,
+                                      chunk_id=0, is_final=True,
+                                      duration_secs=1.0))
+    assert outputs == ["say BAR now"]
+    # Non-matching app → base (empty) vocabulary.
+    monkeypatch.setattr(plat, "active_window",
+                        lambda: {"app": "firefox", "title": "y"})
+    d.app_context._last_poll = 0.0
+    d.app_context._current_app = ""
+    d._process_and_output(ChunkResult(text="say foo now", sequence_id=1,
+                                      chunk_id=1, is_final=True,
+                                      duration_secs=1.0))
+    assert outputs[-1] == "say foo now"
+
+
+def test_config_profiles_roundtrip(tmp_path):
+    from openhush_tpu.utils.config import Config, dumps_toml
+    cfg = Config()
+    cfg.profiles = [{"name": "a", "app_match": "code"},
+                    {"name": "b", "app_match": "slack",
+                     "filler_mode": "aggressive"}]
+    p = tmp_path / "c.toml"
+    cfg.save(str(p))
+    text = p.read_text()
+    assert "[[profiles]]" in text
+    loaded = Config.load_or_default(str(p))
+    assert len(loaded.profiles) == 2
+    assert loaded.profiles[1]["filler_mode"] == "aggressive"

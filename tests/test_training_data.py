@@ -1,0 +1,90 @@
+"""Training pipeline: dataset loading, batch shapes, loss masking, and an
+end-to-end fine-tune that memorizes a tiny synthetic corpus."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from openhush_tpu.audio.wav import save_wav
+from openhush_tpu.models.whisper import model as whisper
+from openhush_tpu.models.whisper.config import WhisperConfig
+from openhush_tpu.text.tokenizer import WhisperTokenizer
+from openhush_tpu.training import data as tdata
+from openhush_tpu.training.train import IGNORE_ID
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    # Short contexts keep CPU fine-tuning fast.
+    return WhisperConfig(
+        name="traintest", n_mels=80, n_audio_ctx=128,
+        n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+        n_text_state=64, n_text_head=2, n_text_layer=2,
+        n_vocab=51865, n_text_ctx=64, n_langs=99)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    lines = []
+    for i, text in enumerate(["hello there", "good morning",
+                              "testing one two", "final phrase"]):
+        p = root / f"utt{i}.wav"
+        tone = 0.2 * np.sin(2 * np.pi * (200 + 100 * i)
+                            * np.arange(16000) / 16000)
+        save_wav(str(p), (tone + 0.01 * rng.standard_normal(16000))
+                 .astype(np.float32))
+        lines.append(f"utt{i}.wav\t{text}")
+    manifest = root / "manifest.tsv"
+    manifest.write_text("\n".join(lines) + "\n")
+    return str(manifest)
+
+
+def test_manifest_loading(corpus):
+    examples = tdata.load_manifest(corpus)
+    assert len(examples) == 4
+    assert os.path.isabs(examples[0].audio_path)
+    assert examples[1].transcript == "good morning"
+
+
+def test_batch_shapes_and_masking(tiny_cfg, corpus):
+    ds = tdata.WhisperDataset(tdata.load_manifest(corpus), tiny_cfg,
+                              batch_size=2, max_tokens=32)
+    batch = next(ds.epoch())
+    assert batch.mel.shape == (2, 80, 3000)
+    assert batch.tokens.shape == (2, 32)
+    assert batch.targets.shape == (2, 32)
+    sp = WhisperTokenizer(tiny_cfg.n_langs).special
+    # Prompt positions masked from the loss; EOT is a target somewhere.
+    assert (batch.targets[:, :2] == IGNORE_ID).all()
+    assert (batch.targets == sp.eot).any()
+    assert batch.tokens[0, 0] == sp.sot
+
+
+def test_finetune_memorizes(tiny_cfg, corpus):
+    """Loss on a 4-utterance corpus must drop sharply — the end-to-end
+    proof that data pipeline + sharded train step learn."""
+    # n_audio_ctx=128 < 1500: dataset emits full 3000-frame mels, so trim
+    # via a wrapper dataset with smaller windows.
+    ds = tdata.WhisperDataset(tdata.load_manifest(corpus), tiny_cfg,
+                              batch_size=4, max_tokens=24)
+
+    # Patch mel frames down to the tiny encoder context.
+    orig = ds._encode_example
+
+    def small(ex):
+        m, t, g = orig(ex)
+        return m[:, : tiny_cfg.n_audio_ctx * 2], t, g
+
+    ds._encode_example = small
+    params = whisper.init_params(tiny_cfg, jax.random.PRNGKey(0))
+    params, losses = tdata.finetune(tiny_cfg, params, ds, epochs=30,
+                                    lr=2e-3)
+    assert len(losses) == 30
+    # From ln(V)≈10.9 at random init, 30 AdamW steps on 4 fixed utterances
+    # must cut the loss substantially.
+    assert losses[-1] < losses[0] - 2.0, (losses[0], losses[-1])
+    assert np.isfinite(losses).all()
