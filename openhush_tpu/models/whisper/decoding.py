@@ -218,7 +218,9 @@ def detect_language_logits(cfg: WhisperConfig, params, cross_kv):
     Parity: full_lang_id_from_state (src/engine/whisper.rs:287)."""
     sp = WhisperTokenizer(cfg.n_langs).special
     B = cross_kv.k.shape[1]
-    cache = whisper.init_kv_cache(cfg, B, dtype=cross_kv.k.dtype, max_len=8)
+    cache_dtype = (cross_kv.k.dtype if cross_kv.k.dtype != jnp.int8
+                   else params["decoder"]["pos_emb"].dtype)
+    cache = whisper.init_kv_cache(cfg, B, dtype=cache_dtype, max_len=8)
     prompt = jnp.full((B, 1), sp.sot, jnp.int32)
     logits, _ = whisper.decode(cfg, params, prompt, jnp.int32(0), cache,
                                cross_kv)

@@ -205,3 +205,22 @@ def test_server_audio_ctx_restriction(setup):
     res = server.poll(sid)
     assert res is not None
     assert 0.0 <= res.no_speech_prob <= 1.0
+
+
+def test_server_language_autodetect_with_quant_slots(setup):
+    """Auto language detection must work through the int8 cross-KV path
+    (regression: temp cache inherited int8 dtype)."""
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                          dtype=jnp.float32, tokenizer=tok,
+                          audio_ctx=256, max_decode_len=64)
+    rng = np.random.default_rng(12)
+    sid = server.open_session()
+    audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+    server.submit_window(sid, audio, language="auto")
+    for _ in range(120):
+        server.run_once()
+        if server._results[sid].qsize():
+            break
+    res = server.poll(sid)
+    assert res is not None
