@@ -79,3 +79,20 @@ def test_transcribe_with_beam(engine):
     res = engine.transcribe(_speechish(1.5), language="en", beam_size=2)
     assert isinstance(res, TranscriptionResult)
     assert all(np.isfinite(s.avg_logprob) for s in res.segments)
+
+
+def test_engine_bf16_quant_path():
+    """The production default (bf16 + int8 cross-KV) end to end on CPU."""
+    eng = WhisperEngine("test", allow_random_init=True, dtype="bfloat16",
+                        language="en")
+    res = eng.transcribe(_speechish(1.2), language="en")
+    assert isinstance(res, TranscriptionResult)
+    assert all(np.isfinite(s.avg_logprob) for s in res.segments)
+
+
+def test_engine_int8_weights_path():
+    eng = WhisperEngine("test", allow_random_init=True, dtype="bfloat16",
+                        language="en", quantize_weights=True)
+    assert isinstance(eng.params["decoder"]["layers"]["q_w"], dict)
+    res = eng.transcribe(_speechish(1.0), language="en")
+    assert isinstance(res, TranscriptionResult)
