@@ -71,7 +71,10 @@ def _kernel(qbd_ref, k_ref, v_ref, maskt_ref, out_ref,
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     k = k_ref[:].astype(jnp.bfloat16)
+    # Pin precision: a global jax_default_matmul_precision=highest (used by
+    # CPU parity tests) makes Mosaic reject bf16 operands ("Bad lhs type").
     scores = jnp.dot(k, qbd_ref[:].astype(jnp.bfloat16),
+                     precision=jax.lax.Precision.DEFAULT,
                      preferred_element_type=jnp.float32)   # [Tb, 128]
     base = t * block_t
     row_ok = (jax.lax.broadcasted_iota(jnp.int32, (block_t, LANE), 0)
@@ -88,6 +91,7 @@ def _kernel(qbd_ref, k_ref, v_ref, maskt_ref, out_ref,
     out_blk = jax.lax.dot_general(
         e.astype(jnp.bfloat16), v,
         dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.DEFAULT,
         preferred_element_type=jnp.float32)                # [128, HD]
     scale_col = jnp.transpose(scale_old)                   # [128, 1]
     acc_scr[:] = acc_scr[:] * scale_col + out_blk

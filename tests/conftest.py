@@ -7,7 +7,10 @@ import os
 import sys
 
 # Override (not setdefault): the host env pins JAX_PLATFORMS=axon (TPU).
-os.environ["JAX_PLATFORMS"] = "cpu"
+# OPENHUSH_TEST_TPU=1 keeps the real device (hardware validation runs).
+_USE_TPU = os.environ.get("OPENHUSH_TEST_TPU") == "1"
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,8 +22,9 @@ import jax  # noqa: E402
 
 # The axon sitecustomize (PYTHONPATH=/root/.axon_site) force-registers the
 # TPU backend regardless of JAX_PLATFORMS in the env; jax.config overrides it.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # XLA:CPU's default matmul/conv precision is visibly lossy (~1e-3); force full
 # fp32 so parity tests measure architecture, not backend rounding. Production
