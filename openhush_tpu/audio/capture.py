@@ -76,10 +76,55 @@ class NullSource(FileSource):
                                   np.float32), sample_rate)
 
 
+class CaptureWatchdog:
+    """Device-disconnect detection: if no audio arrives for `timeout_secs`,
+    call `reinit` (parity: disconnect detection + reinit to the default
+    device, src/input/audio.rs:750-840). Separate from the sounddevice
+    layer so the policy is unit-testable without hardware."""
+
+    def __init__(self, reinit: Callable[[], None],
+                 timeout_secs: float = 3.0, poll_secs: float = 0.5):
+        self.reinit = reinit
+        self.timeout = timeout_secs
+        self.poll = poll_secs
+        self._last_data = time.monotonic()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.reinit_count = 0
+
+    def heartbeat(self) -> None:
+        self._last_data = time.monotonic()
+
+    def start(self) -> None:
+        self._stop.clear()
+        self._last_data = time.monotonic()
+
+        def run():
+            while not self._stop.wait(self.poll):
+                if time.monotonic() - self._last_data > self.timeout:
+                    self.reinit_count += 1
+                    try:
+                        self.reinit()
+                    except Exception:  # noqa: BLE001 — retry next poll
+                        pass
+                    self._last_data = time.monotonic()
+
+        self._thread = threading.Thread(target=run, daemon=True,
+                                        name="capture-watchdog")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=2)
+
+
 class SoundDeviceSource:
     """Real microphone via sounddevice (when available). Captures at the
     device rate, mono-mixes selected channels, resamples to 16 kHz —
-    parity with AudioRecorder (src/input/audio.rs:614-840)."""
+    parity with AudioRecorder (src/input/audio.rs:614-840). A watchdog
+    reinitializes the stream (falling back to the default device) when the
+    callback goes silent — device unplugged or server restarted."""
 
     def __init__(self, device: Optional[str] = None,
                  channels: Optional[list[int]] = None,
@@ -95,6 +140,8 @@ class SoundDeviceSource:
         self.channels = channels
         self.sample_rate = target_rate
         self._stream = None
+        self._callback: Optional[Callback] = None
+        self._watchdog = CaptureWatchdog(self._reinit)
 
     @staticmethod
     def list_devices() -> list[dict]:
@@ -105,12 +152,19 @@ class SoundDeviceSource:
         return [dict(d) for d in sd.query_devices()]
 
     def start(self, callback: Callback) -> None:
+        self._callback = callback
+        self._open_stream()
+        self._watchdog.start()
+
+    def _open_stream(self) -> None:
         sd = self._sd
         info = sd.query_devices(self.device, "input")
         native_rate = int(info["default_samplerate"])
         n_ch = int(info["max_input_channels"])
+        callback = self._callback
 
         def cb(indata, frames, time_info, status):
+            self._watchdog.heartbeat()
             data = np.asarray(indata, np.float32)
             if self.channels:
                 sel = [c for c in self.channels if 0 <= c < n_ch]
@@ -125,7 +179,26 @@ class SoundDeviceSource:
             callback=cb)
         self._stream.start()
 
+    def _reinit(self) -> None:
+        """Reopen capture; fall back to the default device if the selected
+        one disappeared."""
+        import logging
+        logging.getLogger(__name__).warning(
+            "Audio capture stalled — reinitializing stream")
+        try:
+            if self._stream:
+                self._stream.stop()
+                self._stream.close()
+        except Exception:  # noqa: BLE001
+            pass
+        try:
+            self._open_stream()
+        except Exception:
+            self.device = None          # fall back to default device
+            self._open_stream()
+
     def stop(self) -> None:
+        self._watchdog.stop()
         if self._stream:
             self._stream.stop()
             self._stream.close()

@@ -125,3 +125,37 @@ def test_setup_defaults(tmp_path):
     assert r.returncode == 0, r.stderr
     assert os.path.exists(env["OPENHUSH_CONFIG"])
     assert "Config written" in r.stdout
+
+
+def test_capture_watchdog_reinit():
+    from openhush_tpu.audio.capture import CaptureWatchdog
+    calls = []
+    wd = CaptureWatchdog(lambda: calls.append(1), timeout_secs=0.15,
+                         poll_secs=0.05)
+    wd.start()
+    try:
+        # Heartbeats keep it quiet.
+        for _ in range(6):
+            wd.heartbeat()
+            time.sleep(0.05)
+        assert calls == []
+        # Silence triggers reinit (possibly repeatedly).
+        time.sleep(0.5)
+        assert wd.reinit_count >= 1
+    finally:
+        wd.stop()
+
+
+def test_capture_watchdog_survives_reinit_failure():
+    from openhush_tpu.audio.capture import CaptureWatchdog
+
+    def boom():
+        raise RuntimeError("no device")
+
+    wd = CaptureWatchdog(boom, timeout_secs=0.1, poll_secs=0.05)
+    wd.start()
+    try:
+        time.sleep(0.4)
+        assert wd.reinit_count >= 1   # kept trying, didn't die
+    finally:
+        wd.stop()
