@@ -63,3 +63,22 @@ def test_kernel_int8_inputs():
                v8.reshape(B, T, H, D).astype(np.float32), T).reshape(B, hd)
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-9)
     assert rel < 2e-2
+
+
+def test_dma_kernel_matches_dense():
+    from openhush_tpu.ops.decode_attention_dma import decode_cross_attend_dma
+    if INTERPRET:
+        pytest.skip("v2 kernel uses explicit DMA — TPU only")
+    B, H, D, T = 4, 20, 64, 1536
+    hd = H * D
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((B, H, D)).astype(np.float32) * 0.5
+    k = rng.standard_normal((B, T, H, D)).astype(np.float32) * 0.5
+    v = rng.standard_normal((B, T, H, D)).astype(np.float32) * 0.5
+    ref = _ref(q, k, v, 1500).reshape(B, hd)
+    out = np.asarray(decode_cross_attend_dma(
+        jnp.asarray(q.reshape(B, hd)),
+        jnp.asarray(k.reshape(B, T, hd), jnp.bfloat16),
+        jnp.asarray(v.reshape(B, T, hd), jnp.bfloat16),
+        n_heads=H, t_actual=1500))
+    assert np.abs(out - ref).max() < 2e-2
