@@ -15,8 +15,10 @@ import time
 
 
 def _add_transcribe(sub):
-    p = sub.add_parser("transcribe", help="Transcribe an audio file")
-    p.add_argument("file")
+    p = sub.add_parser("transcribe",
+                       help="Transcribe audio file(s); multiple ≤30s files "
+                            "batch through the continuous-batching server")
+    p.add_argument("file", nargs="+")
     p.add_argument("--format", "-f", default="text",
                    help="text|json|srt|vtt|timestamped")
     p.add_argument("--model", "-m", default=None,
@@ -40,19 +42,21 @@ def cmd_transcribe(args) -> int:
     from openhush_tpu.text import formats
     from openhush_tpu.utils.config import Config
 
-    if not os.path.exists(args.file):
-        print(f"File not found: {args.file}", file=sys.stderr)
-        return 1
+    files = args.file
+    for f in files:
+        if not os.path.exists(f):
+            print(f"File not found: {f}", file=sys.stderr)
+            return 1
 
     config = Config.load_or_default()
     model = args.model or config.transcription.effective_model()
     language = args.language or config.transcription.language
 
     t_load = time.monotonic()
-    audio = load_wav(args.file)
+    audios = [load_wav(f) for f in files]
     load_ms = (time.monotonic() - t_load) * 1000
-    duration = len(audio) / 16000.0
-    print(f"Loaded: {duration:.2f}s audio ({len(audio)} samples) "
+    total_secs = sum(len(a) for a in audios) / 16000.0
+    print(f"Loaded: {total_secs:.2f}s audio ({len(files)} file(s)) "
           f"in {load_ms:.0f}ms")
 
     print(f"Loading model: {model}.npz (TPU: True)")
@@ -68,34 +72,102 @@ def cmd_transcribe(args) -> int:
 
     print("Transcribing...")
     t0 = time.monotonic()
-    result = engine.transcribe(audio, language=args.language,
-                               translate=args.translate,
-                               beam_size=args.beam_size)
+    batchable = (len(files) > 1 and args.beam_size is None
+                 and all(len(a) <= 30 * 16000 for a in audios))
+    if batchable:
+        results = _transcribe_batch(engine, audios, args)
+    else:
+        results = [engine.transcribe(a, language=args.language,
+                                     translate=args.translate,
+                                     beam_size=args.beam_size)
+                   for a in audios]
     transcribe_s = time.monotonic() - t0
-    rtf = transcribe_s / duration
 
     fmt = args.format.lower()
+    payloads = []
+    for path, audio, result in zip(files, audios, results):
+        duration = len(audio) / 16000.0
+        share = transcribe_s * duration / max(total_secs, 1e-9)
+        if fmt == "json":
+            # Key set parity: src/main.rs:1028-1036.
+            payload = {
+                "text": result.text,
+                "language": result.language,
+                "duration_ms": result.duration_ms,
+                "audio_duration_secs": duration,
+                "transcription_time_ms": int(share * 1000),
+                "real_time_factor": share / max(duration, 1e-9),
+                "model": model,
+            }
+            if len(files) > 1:
+                payload = {"file": path, **payload}
+            payloads.append(payload)
+        elif fmt in ("srt", "vtt", "timestamped"):
+            if len(files) > 1:
+                print(f"# {path}")
+            segs = [formats.TranscribedSegment(s.start, s.end,
+                                               s.text.strip())
+                    for s in result.segments]
+            print(formats.render(segs, fmt), end="")
+        else:
+            header = f" {path} " if len(files) > 1 else ""
+            print(f"\n---{header or ' Transcription '}---")
+            print(result.text)
+            print("---")
     if fmt == "json":
-        # Key set parity: src/main.rs:1028-1036.
-        print(json.dumps({
-            "text": result.text,
-            "language": result.language,
-            "duration_ms": result.duration_ms,
-            "audio_duration_secs": duration,
-            "transcription_time_ms": int(transcribe_s * 1000),
-            "real_time_factor": rtf,
-            "model": model,
-        }, indent=2))
-    elif fmt in ("srt", "vtt", "timestamped"):
-        segs = [formats.TranscribedSegment(s.start, s.end, s.text.strip())
-                for s in result.segments]
-        print(formats.render(segs, fmt), end="")
-    else:
-        print("\n--- Transcription ---")
-        print(result.text)
-        print("---")
+        print(json.dumps(payloads[0] if len(payloads) == 1 else payloads,
+                         indent=2))
+    elif fmt not in ("srt", "vtt", "timestamped"):
+        rtf = transcribe_s / max(total_secs, 1e-9)
         print(f"\nTime: {transcribe_s * 1000:.0f}ms (RTF: {rtf:.3f}x)")
     return 0
+
+
+def _transcribe_batch(engine, audios, args):
+    """Concurrent ≤30 s files through the continuous-batching server —
+    the batch-file path (baseline config #2) where TPU batching shines."""
+    import types
+
+    from openhush_tpu.runtime.server import EngineServer
+
+    server = EngineServer(engine.cfg, engine.params,
+                          n_slots=min(8, len(audios)),
+                          tokenizer=engine.tokenizer,
+                          dtype=engine.dtype)
+    sid = server.open_session()
+    for i, audio in enumerate(audios):
+        server.submit_window(
+            sid, audio, window_id=i,
+            language=(args.language or engine.language or "en")
+            if (args.language or engine.language) not in ("auto",)
+            else "auto",
+            task="translate" if args.translate else "transcribe",
+            timestamps=True)
+    done = {}
+    while len(done) < len(audios):
+        server.run_once()
+        while True:
+            res = server.poll(sid)
+            if res is None:
+                break
+            done[res.window_id] = res
+    out = []
+    for i, audio in enumerate(audios):
+        r = done[i]
+        segments = engine._parse_window_segments(
+            r.tokens, 0.0, len(audio) / 16000.0,
+            len(audio) // 160,
+            types.SimpleNamespace(avg_logprob=[r.avg_logprob],
+                                  no_speech_prob=[r.no_speech_prob],
+                                  temperature=0.0), 0.0)[0]
+        out.append(types.SimpleNamespace(
+            text=engine.tokenizer.decode(
+                [t for t in r.tokens
+                 if t < engine.tokenizer.special.timestamp_begin]).strip(),
+            language=r.tokens and engine.language or "en",
+            segments=segments,
+            duration_ms=int(r.latency * 1000)))
+    return out
 
 
 def cmd_model(args) -> int:

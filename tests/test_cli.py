@@ -97,3 +97,23 @@ def test_all_advertised_commands_dispatch(tmp_path):
     assert r.returncode == 0
     assert "config.toml" in r.stdout
     assert "not available yet" not in r.stderr
+
+
+@pytest.mark.slow
+def test_transcribe_multiple_files_batch(tmp_path):
+    """Batch-file transcription (baseline config #2): several short files
+    in one invocation through the batching server."""
+    from openhush_tpu.audio.wav import save_wav
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.wav")
+        save_wav(p, (0.2 * rng.standard_normal(16000)).astype(np.float32))
+        paths.append(p)
+    r = run_cli("transcribe", *paths, "--model", "test", "--random-init",
+                "--dtype", "float32", "--format", "json")
+    assert r.returncode == 0, r.stderr
+    payload = r.stdout[r.stdout.index("["):]
+    data = json.loads(payload)
+    assert len(data) == 3
+    assert all("file" in d and "real_time_factor" in d for d in data)
