@@ -86,3 +86,20 @@ def cache_spec() -> P:
 
 def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
+
+
+def shard_slot_state(state, mesh: Mesh, n_slots: int):
+    """Place a continuous-batching SlotState on the mesh: slot (batch)
+    dimension over 'data', everything else replicated — the multi-chip
+    serving layout (sessions sharded across chips, weights TP within).
+    Token-exact vs single-device (tested on a virtual 8-device mesh)."""
+    import jax
+
+    def place(a):
+        if a.ndim >= 2 and a.shape[1] == n_slots:    # [L, B, ...]
+            return jax.device_put(a, NamedSharding(mesh, P(None, DATA_AXIS)))
+        if a.ndim >= 1 and a.shape[0] == n_slots:    # [B, ...]
+            return jax.device_put(a, NamedSharding(mesh, P(DATA_AXIS)))
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, state)

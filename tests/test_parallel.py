@@ -94,3 +94,52 @@ def test_dryrun_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_batcher_sharded_serving_token_exact():
+    """The continuous batcher under a (data, model) mesh — sessions sharded
+    across chips, TP within — must produce token-identical output."""
+    import jax.numpy as jnp
+    from openhush_tpu.models.whisper import decoding
+    from openhush_tpu.models.whisper.config import get_config
+    from openhush_tpu.runtime import batcher
+    from openhush_tpu.text.tokenizer import WhisperTokenizer
+    from openhush_tpu.models.whisper import model as whisper_model
+
+    cfg = get_config("test")
+    params = whisper_model.init_params(cfg, jax.random.PRNGKey(42))
+    tok = WhisperTokenizer(cfg.n_langs)
+    mesh = sh.create_mesh(n_model=2)
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.5
+    feats = whisper_model.encode(cfg, params, mel)
+    xkv_q = whisper_model.compute_cross_kv_quant(cfg, params, feats)
+    prompt = tok.sot_sequence("en", "transcribe")
+    p = jnp.asarray([prompt], jnp.int32)
+    suppress = jnp.asarray(decoding.build_suppress_mask(
+        tok, cfg, decoding.DecodingOptions()))
+    blank = tok.encode(" ")[0]
+
+    def run(sharded):
+        state = batcher.init_state(cfg, n_slots=4, dtype=jnp.float32)
+        ps = params
+        if sharded:
+            ps = sh.shard_params(params, mesh)
+            state = sh.shard_slot_state(state, mesh, 4)
+        ctx = jax.set_mesh(mesh) if sharded else _nullcontext()
+        with ctx:
+            state = batcher.admit(cfg, ps, state, jnp.int32(1), xkv_q, p,
+                                  jnp.asarray(True), prompt_len=len(prompt))
+            for _ in range(2):
+                state = batcher.step(cfg, ps, state, suppress,
+                                     inner_steps=4, blank_token=blank)
+        return np.asarray(state.tokens[1])
+
+    class _nullcontext:
+        def __enter__(self):
+            return None
+
+        def __exit__(self, *a):
+            return False
+
+    np.testing.assert_array_equal(run(False), run(True))
