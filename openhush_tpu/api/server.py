@@ -90,12 +90,17 @@ class ApiServer:
                 self.send_response(code)
                 self.send_header("Content-Type", content_type)
                 self.send_header("Content-Length", str(len(body)))
+                # CORS restricted by default (parity: src/api/routes.rs:
+                # 103-105): no headers at all unless origins are configured;
+                # "*" is reflected only when explicitly listed.
                 origin = self.headers.get("Origin")
-                if origin and (not api.cors_origins
-                               or origin in api.cors_origins
-                               or "*" in api.cors_origins):
-                    self.send_header("Access-Control-Allow-Origin",
-                                     origin if api.cors_origins else "*")
+                if origin and api.cors_origins and (
+                        origin in api.cors_origins or "*" in api.cors_origins):
+                    self.send_header(
+                        "Access-Control-Allow-Origin",
+                        "*" if ("*" in api.cors_origins
+                                and origin not in api.cors_origins)
+                        else origin)
                     self.send_header("Access-Control-Allow-Headers",
                                      f"Content-Type, {API_KEY_HEADER}")
                     self.send_header("Access-Control-Allow-Methods",

@@ -62,7 +62,8 @@ class M2MConfig:
 
 CONFIGS = {
     "418M": M2MConfig(),
-    "1.2B": M2MConfig(name="1.2B", n_enc_layers=24, n_dec_layers=24),
+    "1.2B": M2MConfig(name="1.2B", n_enc_layers=24, n_dec_layers=24,
+                      ffn_dim=8192),
     "test": M2MConfig(name="test", vocab_size=1000, d_model=64, n_heads=2,
                       n_enc_layers=2, n_dec_layers=2, ffn_dim=128,
                       lang_token_base=900),

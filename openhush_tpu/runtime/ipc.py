@@ -21,7 +21,11 @@ COMMANDS = ("status", "stop", "load_model", "unload_model",
 
 
 def socket_path() -> str:
-    runtime = os.environ.get("XDG_RUNTIME_DIR", "/tmp")
+    runtime = os.environ.get("XDG_RUNTIME_DIR")
+    if not runtime:
+        # Never a bare, predictable path in shared /tmp: fall back to a
+        # per-user 0700 subdirectory so the socket can't be squatted.
+        runtime = os.path.join("/tmp", f"openhush-{os.getuid()}")
     return os.path.join(runtime, "openhush.sock")
 
 
@@ -39,9 +43,16 @@ class IpcServer:
     def start(self) -> None:
         if os.path.exists(self.path):
             os.unlink(self.path)
-        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        parent = os.path.dirname(self.path)
+        os.makedirs(parent, mode=0o700, exist_ok=True)
         self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self._sock.bind(self.path)
+        # bind() under a restrictive umask so there is no window where the
+        # socket exists with umask-default permissions before the chmod.
+        old_umask = os.umask(0o177)
+        try:
+            self._sock.bind(self.path)
+        finally:
+            os.umask(old_umask)
         os.chmod(self.path, 0o600)
         self._sock.listen(8)
         self._sock.settimeout(0.25)

@@ -233,16 +233,25 @@ class WhisperTokenizer:
                     s = "".join(byte_enc[b] for b in raw)
                     vocab[s] = int(rank)
                     ranked.append(s)
-            # Reconstruct merges: a merged token of length>1 splits into the
-            # best-ranked pair of previously seen tokens.
-            seen = set()
+            # Reconstruct merges (standard tiktoken merge recovery): a merged
+            # token's true training pair is the split of previously-seen
+            # halves that minimizes the max rank of the two halves — taking
+            # the FIRST valid split instead can diverge from the real BPE.
             for s in sorted(vocab, key=vocab.get):
-                if len(s) > 1:
-                    for i in range(1, len(s)):
-                        if s[:i] in seen and s[i:] in seen:
-                            merges[(s[:i], s[i:])] = vocab[s]
-                            break
-                seen.add(s)
+                if len(s) <= 1:
+                    continue
+                rank = vocab[s]
+                best = None
+                for i in range(1, len(s)):
+                    ra = vocab.get(s[:i])
+                    rb = vocab.get(s[i:])
+                    if ra is None or rb is None or ra >= rank or rb >= rank:
+                        continue
+                    key = max(ra, rb)
+                    if best is None or key < best[0]:
+                        best = (key, s[:i], s[i:])
+                if best is not None:
+                    merges[(best[1], best[2])] = rank
             return cls(n_langs, BPE(vocab, merges))
         with open(vocab_path) as f:
             vocab = json.load(f)

@@ -68,6 +68,13 @@ def download_with_resume(url: str, dest: str,
             total += len(data)
             if progress:
                 progress(total, expected)
+    if expected > 0 and total < expected:
+        # Dropped connection reads as EOF: keep the .tmp for a future Range
+        # resume and refuse to publish a truncated artifact (parity:
+        # src/engine/whisper.rs:584-590 errors on incomplete downloads).
+        raise IOError(
+            f"incomplete download of {url}: {total}/{expected} bytes "
+            f"(kept {tmp} for resume)")
     os.replace(tmp, dest)
     return dest
 

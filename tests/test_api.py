@@ -134,3 +134,32 @@ def test_cors_headers():
             assert r.headers["Access-Control-Allow-Origin"] is None
     finally:
         srv.stop()
+
+
+def test_cors_restricted_by_default():
+    """Unconfigured cors_origins must emit NO CORS headers at all (parity:
+    src/api/routes.rs:103-105 'CORS restricted by default') — otherwise any
+    web page can read /status and drive /recording on the loopback daemon."""
+    srv = ApiServer(port=0)  # cors_origins empty = default
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/health")
+        req.add_header("Origin", "http://anything.example")
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert r.headers["Access-Control-Allow-Origin"] is None
+    finally:
+        srv.stop()
+
+
+def test_cors_wildcard_must_be_explicit():
+    srv = ApiServer(port=0, cors_origins=["*"])
+    srv.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/v1/health")
+        req.add_header("Origin", "http://some.site")
+        with urllib.request.urlopen(req, timeout=5) as r:
+            assert r.headers["Access-Control-Allow-Origin"] == "*"
+    finally:
+        srv.stop()

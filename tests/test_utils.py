@@ -22,7 +22,7 @@ def file_server(tmp_path_factory):
     root = tmp_path_factory.mktemp("files")
     payload = bytes(range(256)) * 1000        # 256 kB
     (root / "model.bin").write_bytes(payload)
-    state = {"ignore_range": False, "requests": []}
+    state = {"ignore_range": False, "truncate_at": 0, "requests": []}
 
     class Handler(http.server.BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -51,7 +51,13 @@ def file_server(tmp_path_factory):
                 self.send_response(200)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
-            self.wfile.write(body)
+            if state["truncate_at"]:
+                # Simulate a dropped connection mid-stream.
+                self.wfile.write(body[:state["truncate_at"]])
+                self.wfile.flush()
+                self.connection.close()
+            else:
+                self.wfile.write(body)
 
     httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -90,6 +96,25 @@ def test_download_restart_when_range_ignored(file_server, tmp_path):
         downloads.download_with_resume(url, dest)
     finally:
         state["ignore_range"] = False
+    assert open(dest, "rb").read() == payload
+
+
+def test_download_truncated_keeps_tmp(file_server, tmp_path):
+    """A dropped connection must NOT publish a truncated artifact: the .tmp
+    stays for Range resume and download_with_resume raises (parity:
+    src/engine/whisper.rs:584-590)."""
+    url, payload, state = file_server
+    dest = str(tmp_path / "trunc.bin")
+    state["truncate_at"] = 1000
+    try:
+        with pytest.raises(IOError):
+            downloads.download_with_resume(url, dest)
+    finally:
+        state["truncate_at"] = 0
+    assert not os.path.exists(dest)
+    assert os.path.exists(dest + ".tmp")
+    # And the retry resumes from the partial tmp to a complete file.
+    downloads.download_with_resume(url, dest)
     assert open(dest, "rb").read() == payload
 
 
