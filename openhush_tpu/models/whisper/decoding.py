@@ -130,8 +130,7 @@ def _update_ts_state(state, next_tok, sp_consts):
     jax.jit,
     static_argnames=("cfg", "prompt_len", "max_new", "use_timestamps",
                      "suppress_blank", "max_initial_index", "blank_token",
-                     "sot_index"),
-    donate_argnames=("cache",))
+                     "sot_index"))
 def greedy_loop(cfg: WhisperConfig, params, cross_kv, cache,
                 prompt: jax.Array, suppress_mask: jax.Array,
                 temperature: jax.Array, rng: jax.Array, *,

@@ -6,7 +6,8 @@ time); here one persistent compiled decode step advances EVERY active session
 by one token per dispatch, with admission and eviction happening *between*
 steps at fixed shapes — no recompilation, no per-session graphs.
 
-Device state (all fixed-shape, donated through the step kernel):
+Device state (all fixed-shape; donated through the step kernel except the
+peek-readable tokens/pos tape — see _PEEK_FIELDS):
   cache [L, B, H, n_ctx, Dh]   per-slot self-attention KV
   xkv   [L, B, H, 1500, Dh]    per-slot cross-attention KV (encoder output)
   tokens [B, n_ctx]            prompt + generated ids
@@ -95,8 +96,26 @@ def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
-                   donate_argnames=("state",))
+# `tokens` and `pos` are deliberately excluded from buffer donation: they are
+# the host-readable decode tape that EngineServer.peek() reads from arbitrary
+# threads while the device loop runs. Donating them would delete the buffers
+# a concurrent peek holds a reference to (the round-1 retry-on-RuntimeError
+# race); keeping them undonated makes peek deterministic for the cost of one
+# tiny [B, n_ctx] int32 copy per dispatch.
+_PEEK_FIELDS = ("tokens", "pos")
+_DONATED_FIELDS = tuple(f for f in SlotState._fields if f not in _PEEK_FIELDS)
+
+
+def _pack(state: SlotState):
+    return (tuple(getattr(state, f) for f in _DONATED_FIELDS),
+            (state.tokens, state.pos))
+
+
+def _unpack(donated, kept) -> SlotState:
+    return SlotState(tokens=kept[0], pos=kept[1],
+                     **dict(zip(_DONATED_FIELDS, donated)))
+
+
 def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
           new_xkv: whisper.QuantKVCache, prompt: jax.Array,
           use_timestamps: jax.Array, *, prompt_len: int) -> SlotState:
@@ -104,6 +123,17 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
 
     new_xkv: quantized cross-KV for ONE row ([L, 1, H, A, Dh] int8 +
     [L, 1, H, A] scales); prompt: [1, prompt_len]."""
+    donated, kept = _pack(state)
+    return _admit_impl(cfg, params, donated, kept, slot, new_xkv, prompt,
+                       use_timestamps, prompt_len=prompt_len)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
+                   donate_argnums=(2,))
+def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
+                new_xkv: whisper.QuantKVCache, prompt: jax.Array,
+                use_timestamps: jax.Array, *, prompt_len: int) -> SlotState:
+    state = _unpack(donated, kept)
     sp = WhisperTokenizer(cfg.n_langs).special
     L, B = state.cache_k.shape[:2]
     T = state.tokens.shape[1]
@@ -160,14 +190,26 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "inner_steps",
-                                             "max_initial_index",
-                                             "blank_token"),
-                   donate_argnames=("state",))
 def step(cfg: WhisperConfig, params, state: SlotState,
          suppress_mask: jax.Array, *, inner_steps: int = 8,
          max_initial_index: int = 50, blank_token: int = 220) -> SlotState:
     """Advance every active unfinished slot by `inner_steps` greedy tokens."""
+    donated, kept = _pack(state)
+    return _step_impl(cfg, params, donated, kept, suppress_mask,
+                      inner_steps=inner_steps,
+                      max_initial_index=max_initial_index,
+                      blank_token=blank_token)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "inner_steps",
+                                             "max_initial_index",
+                                             "blank_token"),
+                   donate_argnums=(2,))
+def _step_impl(cfg: WhisperConfig, params, donated, kept,
+               suppress_mask: jax.Array, *, inner_steps: int = 8,
+               max_initial_index: int = 50,
+               blank_token: int = 220) -> SlotState:
+    state = _unpack(donated, kept)
     sp = WhisperTokenizer(cfg.n_langs).special
     sp_consts = (sp.timestamp_begin, sp.eot)
     eot = sp.eot
@@ -239,8 +281,14 @@ def step(cfg: WhisperConfig, params, state: SlotState,
     return state
 
 
-@functools.partial(jax.jit, donate_argnames=("state",))
+@jax.jit
+def _release_impl(active, finished, slot_mask):
+    return active & ~slot_mask, finished & ~slot_mask
+
+
 def release(state: SlotState, slot_mask: jax.Array) -> SlotState:
-    """Mark slots in slot_mask [B] bool as free."""
-    return state._replace(active=state.active & ~slot_mask,
-                          finished=state.finished & ~slot_mask)
+    """Mark slots in slot_mask [B] bool as free. Touches only the two [B]
+    bool flags — every large buffer (and the peek-readable tokens/pos tape)
+    is passed through untouched, so no donation and no copies."""
+    active, finished = _release_impl(state.active, state.finished, slot_mask)
+    return state._replace(active=active, finished=finished)

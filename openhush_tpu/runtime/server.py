@@ -142,25 +142,20 @@ class EngineServer:
     def peek(self, session_id: int) -> Optional[list[int]]:
         """Partial content tokens of the session's in-flight window.
 
-        Runs on caller threads while the device loop donates the slot state
-        into `step`; a read can race the donation and hit a deleted buffer —
-        retry against the freshly rebound state."""
+        Deterministic: `tokens` and `pos` are excluded from buffer donation
+        in the step kernel (batcher._PEEK_FIELDS), so the snapshot reference
+        taken here can never be deleted under us by the device loop."""
         with self._lock:
             slot = next((s for s, info in self._slots.items()
                          if info.session_id == session_id), None)
             if slot is None:
                 return None
             info = self._slots[slot]
-        for _ in range(5):
-            state = self.state
-            try:
-                tokens = np.asarray(state.tokens[slot])
-                pos = int(np.asarray(state.pos[slot]))
-                break
-            except RuntimeError:     # buffer donated mid-read
-                time.sleep(0.002)
-        else:
-            return None
+        state = self.state
+        # Read pos first: tokens[:pos] is always fully written for that pos,
+        # so a step landing between the two reads only under-reports.
+        pos = int(np.asarray(state.pos[slot]))
+        tokens = np.asarray(state.tokens[slot])
         return [int(t) for t in tokens[info.prompt_len:pos]
                 if t != self.tokenizer.special.eot]
 

@@ -186,6 +186,41 @@ def test_engine_server_threaded(setup):
         server.stop()
 
 
+def test_peek_deterministic_under_concurrent_steps(setup):
+    """peek() must never fail or misreport while the device loop donates
+    state: tokens/pos are excluded from donation (batcher._PEEK_FIELDS), so
+    concurrent partial reads are deterministic — no retry loop needed.
+    Partials must grow monotonically as prefixes of one another."""
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=2, inner_steps=4,
+                          dtype=jnp.float32, tokenizer=tok,
+                          audio_ctx=256, max_decode_len=64)
+    server.start()
+    try:
+        sid = server.open_session()
+        rng = np.random.default_rng(21)
+        audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+        server.submit_window(sid, audio)
+        partials = []
+        import time as _time
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline:
+            p = server.peek(sid)
+            if p is not None:
+                partials.append(p)
+            if server._results[sid].qsize():
+                break
+            _time.sleep(0.001)
+        res = server.poll(sid)
+        assert res is not None
+        # Every observed partial is a prefix of the next (and of the final).
+        seq = [p for p in partials] + [res.tokens]
+        for a, b in zip(seq, seq[1:]):
+            assert b[:len(a)] == a
+    finally:
+        server.stop()
+
+
 def test_server_audio_ctx_restriction(setup):
     """audio_ctx < 1500 shrinks xkv slots and still decodes correctly."""
     cfg, params, tok = setup
