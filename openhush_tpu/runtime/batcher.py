@@ -57,6 +57,16 @@ class SlotState(NamedTuple):
     ts_prevprev: jax.Array   # [B] bool
     ts_floor: jax.Array      # [B] int32
     use_ts: jax.Array        # [B] bool — per-session timestamps flag
+    # Streaming quality guards (parity: whisper.cpp applies the whisper
+    # heuristic ladder per chunk, src/engine/whisper.rs:204-305; here the
+    # repetition detector runs ON DEVICE so a looping slot aborts mid-window
+    # instead of streaming garbage until the buffer fills).
+    temperature: jax.Array   # [B] f32 — 0 = greedy, >0 = sampling
+    rng: jax.Array           # [B, 2] uint32 per-row PRNG keys
+    prev_tok: jax.Array      # [B] int32 last sampled token
+    prevprev_tok: jax.Array  # [B] int32
+    rep_count: jax.Array     # [B] int32 consecutive short-cycle repeats
+    degenerate: jax.Array    # [B] bool — aborted by the repetition guard
 
 
 def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
@@ -93,6 +103,12 @@ def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
         ts_prevprev=jnp.zeros((B,), bool),
         ts_floor=jnp.full((B,), sp.timestamp_begin, jnp.int32),
         use_ts=jnp.zeros((B,), bool),
+        temperature=jnp.zeros((B,), jnp.float32),
+        rng=jnp.zeros((B, 2), jnp.uint32),
+        prev_tok=jnp.full((B,), -1, jnp.int32),
+        prevprev_tok=jnp.full((B,), -1, jnp.int32),
+        rep_count=jnp.zeros((B,), jnp.int32),
+        degenerate=jnp.zeros((B,), bool),
     )
 
 
@@ -118,21 +134,31 @@ def _unpack(donated, kept) -> SlotState:
 
 def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
           new_xkv: whisper.QuantKVCache, prompt: jax.Array,
-          use_timestamps: jax.Array, *, prompt_len: int) -> SlotState:
+          use_timestamps: jax.Array, *, prompt_len: int,
+          temperature: Optional[jax.Array] = None,
+          rng: Optional[jax.Array] = None) -> SlotState:
     """Install a session into `slot` and prefill its prompt.
 
     new_xkv: quantized cross-KV for ONE row ([L, 1, H, A, Dh] int8 +
-    [L, 1, H, A] scales); prompt: [1, prompt_len]."""
+    [L, 1, H, A] scales); prompt: [1, prompt_len]. temperature > 0 switches
+    the row to sampling with `rng` (the harvest-time fallback ladder)."""
     donated, kept = _pack(state)
+    if temperature is None:
+        temperature = jnp.float32(0.0)
+    if rng is None:
+        rng = jnp.zeros((2,), jnp.uint32)
     return _admit_impl(cfg, params, donated, kept, slot, new_xkv, prompt,
-                       use_timestamps, prompt_len=prompt_len)
+                       use_timestamps, temperature,
+                       jnp.asarray(rng, jnp.uint32).reshape(2),
+                       prompt_len=prompt_len)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
                    donate_argnums=(2,))
 def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
                 new_xkv: whisper.QuantKVCache, prompt: jax.Array,
-                use_timestamps: jax.Array, *, prompt_len: int) -> SlotState:
+                use_timestamps: jax.Array, temperature: jax.Array,
+                rng: jax.Array, *, prompt_len: int) -> SlotState:
     state = _unpack(donated, kept)
     sp = WhisperTokenizer(cfg.n_langs).special
     L, B = state.cache_k.shape[:2]
@@ -187,28 +213,38 @@ def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
         ts_prevprev=set1(state.ts_prevprev, False),
         ts_floor=set1(state.ts_floor, jnp.int32(sp.timestamp_begin)),
         use_ts=set1(state.use_ts, use_timestamps),
+        temperature=set1(state.temperature, temperature),
+        rng=set1(state.rng, rng),
+        prev_tok=set1(state.prev_tok, jnp.int32(-1)),
+        prevprev_tok=set1(state.prevprev_tok, jnp.int32(-1)),
+        rep_count=set1(state.rep_count, jnp.int32(0)),
+        degenerate=set1(state.degenerate, False),
     )
 
 
 def step(cfg: WhisperConfig, params, state: SlotState,
          suppress_mask: jax.Array, *, inner_steps: int = 8,
-         max_initial_index: int = 50, blank_token: int = 220) -> SlotState:
-    """Advance every active unfinished slot by `inner_steps` greedy tokens."""
+         max_initial_index: int = 50, blank_token: int = 220,
+         rep_threshold: int = 12) -> SlotState:
+    """Advance every active unfinished slot by `inner_steps` tokens (greedy,
+    or sampled where the row's temperature > 0). A row whose last
+    `rep_threshold` tokens all short-cycle (period 1 or 2) is finished early
+    with `degenerate=True` — the device-side repetition guard."""
     donated, kept = _pack(state)
     return _step_impl(cfg, params, donated, kept, suppress_mask,
                       inner_steps=inner_steps,
                       max_initial_index=max_initial_index,
-                      blank_token=blank_token)
+                      blank_token=blank_token, rep_threshold=rep_threshold)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "inner_steps",
                                              "max_initial_index",
-                                             "blank_token"),
+                                             "blank_token", "rep_threshold"),
                    donate_argnums=(2,))
 def _step_impl(cfg: WhisperConfig, params, donated, kept,
                suppress_mask: jax.Array, *, inner_steps: int = 8,
                max_initial_index: int = 50,
-               blank_token: int = 220) -> SlotState:
+               blank_token: int = 220, rep_threshold: int = 12) -> SlotState:
     state = _unpack(donated, kept)
     sp = WhisperTokenizer(cfg.n_langs).special
     sp_consts = (sp.timestamp_begin, sp.eot)
@@ -238,9 +274,34 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
         lg = jnp.where(no_ts_mask, lg, NEG_INF)  # suppress ts if disabled
 
         logprobs = jax.nn.log_softmax(lg, axis=-1)
-        nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        # Per-row temperature sampling for the harvest-time fallback ladder
+        # (whisper's retry-at-higher-temperature, engine one-shot parity).
+        def sample_row(key_data, row_logits, row_temp):
+            k1, k2 = jax.random.split(jax.random.wrap_key_data(key_data))
+            tok = jax.random.categorical(
+                k2, row_logits / jnp.maximum(row_temp, 1e-6))
+            return jax.random.key_data(k1), tok
+        new_rng, sampled = jax.vmap(sample_row)(state.rng, lg,
+                                                state.temperature)
+        sampled = sampled.astype(jnp.int32)
+        nxt = jnp.where(state.temperature > 0, sampled, greedy)
         live = state.active & ~state.finished
         nxt = jnp.where(live, nxt, eot)
+        rng = jnp.where(live[:, None], new_rng, state.rng)
+
+        # Device-side repetition guard: consecutive period-1/2 cycles of
+        # text tokens. Longer phrase loops are caught at harvest by the
+        # compression-ratio check.
+        is_text = (nxt != eot) & (nxt < sp.timestamp_begin)
+        rep = live & is_text & ((nxt == state.prev_tok)
+                                | (nxt == state.prevprev_tok))
+        rep_count = jnp.where(live, jnp.where(rep, state.rep_count + 1, 0),
+                              state.rep_count)
+        degenerate_now = live & (rep_count >= rep_threshold)
+        degenerate = state.degenerate | degenerate_now
+        prevprev_tok = jnp.where(live, state.prev_tok, state.prevprev_tok)
+        prev_tok = jnp.where(live, nxt, state.prev_tok)
 
         tok_lp = jnp.take_along_axis(logprobs, nxt[:, None], -1)[:, 0]
         sum_lp = state.sum_logprob + jnp.where(live, tok_lp, 0.0)
@@ -254,7 +315,8 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
 
         hit_eot = nxt == eot
         out_of_room = state.pos >= T - 1
-        finished = state.finished | (live & (hit_eot | out_of_room))
+        finished = state.finished | (live & (hit_eot | out_of_room
+                                             | degenerate_now))
 
         # Write token at per-row pos (only live rows advance).
         tokens = jax.vmap(
@@ -275,7 +337,9 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
             length=length, sum_logprob=sum_lp,
             last_logits=logits[:, -1].astype(jnp.float32),
             finished=finished, ts_prev=ts_prev, ts_prevprev=ts_prevprev,
-            ts_floor=ts_floor), None
+            ts_floor=ts_floor, rng=rng, prev_tok=prev_tok,
+            prevprev_tok=prevprev_tok, rep_count=rep_count,
+            degenerate=degenerate), None
 
     state, _ = jax.lax.scan(one_step, state, None, length=inner_steps)
     return state

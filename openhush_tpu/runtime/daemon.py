@@ -686,9 +686,15 @@ def _build_daemon(foreground: bool = True) -> Daemon:
                   if config.queue.chunk_interval_secs > 0 else 5.0)
     audio_ctx = min(1500, max(256, int(-(-chunk_secs * 50 * 2 // 64)) * 64))
     preprocess = build_preprocess(config.audio)
+    # Random-init dev mode: neutralize the quality-fallback ladder —
+    # untrained logits sit at avg_logprob ~ -log(V) and would send every
+    # window through all ladder temperatures.
+    guards = ({} if not getattr(eng, "random_init", False)
+              else dict(temperatures=(0.0,), logprob_threshold=-1e9,
+                        no_speech_threshold=2.0))
     server = EngineServer(eng.cfg, eng.params, tokenizer=eng.tokenizer,
                           audio_ctx=audio_ctx, max_decode_len=256,
-                          preprocess=preprocess)
+                          preprocess=preprocess, **guards)
     try:
         source = SoundDeviceSource(device=config.audio.device or None,
                                    channels=config.audio.channels or None)

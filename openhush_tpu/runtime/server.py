@@ -41,6 +41,19 @@ class WindowResult:
     no_speech_prob: float
     first_token_latency: float    # seconds from submit to first content token
     latency: float                # seconds from submit to completion
+    temperature: float = 0.0      # ladder temperature the window finished at
+    compression_ratio: float = 0.0
+    skipped_silence: bool = False  # no_speech gate fired → empty result
+
+
+def compression_ratio(text: str) -> float:
+    """zlib compression ratio of the UTF-8 text — whisper's repetition
+    metric (>2.4 = degenerate)."""
+    import zlib
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 @dataclasses.dataclass
@@ -62,6 +75,14 @@ class _SlotInfo:
     submitted_at: float
     admitted_at: float
     first_token_at: Optional[float] = None
+    # Fallback-ladder state: the encoded window (quantized cross-KV) and
+    # resolved language are kept so a retry at higher temperature re-prefills
+    # the same slot without re-encoding or re-detecting.
+    xkv: Optional[object] = None
+    language: str = "en"
+    task: str = "transcribe"
+    timestamps: bool = True
+    temp_idx: int = 0
 
 
 class EngineServer:
@@ -72,7 +93,12 @@ class EngineServer:
                  tokenizer: Optional[WhisperTokenizer] = None,
                  audio_ctx: Optional[int] = None,
                  max_decode_len: Optional[int] = None,
-                 preprocess=None):
+                 preprocess=None,
+                 temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                 compression_ratio_threshold: float = 2.4,
+                 logprob_threshold: float = -1.0,
+                 no_speech_threshold: float = 0.6,
+                 rep_threshold: int = 12):
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
@@ -89,6 +115,14 @@ class EngineServer:
         # Per-window preprocessing (denoise/normalize/compress/limit —
         # the reference worker's preprocess_audio, src/queue/worker.rs:196).
         self.preprocess = preprocess
+        # Streaming quality guards — the whisper heuristic ladder applied
+        # per window (parity: src/engine/whisper.rs:204-305 runs these on
+        # every chunk; round-1 only had them in the one-shot engine).
+        self.temperatures = tuple(temperatures) or (0.0,)
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
+        self.rep_threshold = rep_threshold
         self._suppress = jnp.asarray(decoding.build_suppress_mask(
             self.tokenizer, cfg, decoding.DecodingOptions()))
         blank = self.tokenizer.encode(" ")
@@ -190,7 +224,8 @@ class EngineServer:
             self.state = batcher.step(
                 self.cfg, self.params, self.state, self._suppress,
                 inner_steps=self.inner_steps,
-                blank_token=self._blank_token)
+                blank_token=self._blank_token,
+                rep_threshold=self.rep_threshold)
             self._harvest()
             worked = True
         return worked
@@ -235,18 +270,50 @@ class EngineServer:
             langs, _ = decoding.detect_language(self.cfg, self.params, xkv,
                                                 tok)
             language = langs[0]
-        prompt = tok.sot_sequence(language, job.task,
-                                  timestamps=job.timestamps)
-        self.state = batcher.admit(
-            self.cfg, self.params, self.state, jnp.int32(slot), xkv,
-            jnp.asarray([prompt], jnp.int32), jnp.asarray(job.timestamps),
-            prompt_len=len(prompt))
-        with self._lock:
-            self._slots[slot] = _SlotInfo(
-                job.session_id, job.window_id, len(prompt),
-                job.submitted_at, time.monotonic())
+        info = _SlotInfo(job.session_id, job.window_id, 0,
+                         job.submitted_at, time.monotonic(),
+                         xkv=xkv, language=language, task=job.task,
+                         timestamps=job.timestamps, temp_idx=0)
+        self._install(slot, info)
         log.debug("admitted session %d window %d into slot %d",
                   job.session_id, job.window_id, slot)
+
+    def _install(self, slot: int, info: _SlotInfo) -> None:
+        """(Re-)prefill `slot` from its cached cross-KV at the ladder
+        temperature info.temp_idx."""
+        tok = self.tokenizer
+        prompt = tok.sot_sequence(info.language, info.task,
+                                  timestamps=info.timestamps)
+        info.prompt_len = len(prompt)
+        temp = float(self.temperatures[info.temp_idx])
+        rng = np.asarray(
+            jax.random.key_data(jax.random.PRNGKey(
+                (info.session_id * 1000003 + info.window_id * 101
+                 + info.temp_idx) & 0x7FFFFFFF)), np.uint32)
+        self.state = batcher.admit(
+            self.cfg, self.params, self.state, jnp.int32(slot), info.xkv,
+            jnp.asarray([prompt], jnp.int32), jnp.asarray(info.timestamps),
+            prompt_len=len(prompt), temperature=jnp.float32(temp),
+            rng=jnp.asarray(rng))
+        with self._lock:
+            self._slots[slot] = info
+
+    def _quality_verdict(self, text: str, avg_logprob: float,
+                         no_speech_prob: float,
+                         degenerate: bool) -> tuple[str, float]:
+        """whisper's per-chunk heuristics → ('emit'|'skip'|'fallback', cr).
+
+        skip: confident silence (no_speech AND low logprob) → empty result.
+        fallback: degenerate output (repetition-guard abort, compression
+        ratio, or low confidence) → retry at the next ladder temperature."""
+        cr = compression_ratio(text)
+        if (no_speech_prob > self.no_speech_threshold
+                and avg_logprob < self.logprob_threshold):
+            return "skip", cr
+        if (degenerate or cr > self.compression_ratio_threshold
+                or avg_logprob < self.logprob_threshold):
+            return "fallback", cr
+        return "emit", cr
 
     def _harvest(self) -> None:
         finished = np.asarray(self.state.finished)
@@ -264,8 +331,10 @@ class EngineServer:
         sum_lp = np.asarray(self.state.sum_logprob)
         lengths = np.asarray(self.state.length)
         no_speech = np.asarray(self.state.no_speech)
+        degenerate = np.asarray(self.state.degenerate)
         eot = self.tokenizer.special.eot
         done_mask = np.zeros(self.n_slots, bool)
+        retries: list[tuple[int, _SlotInfo]] = []
         now = time.monotonic()
         with self._lock:
             done = [(s, i) for s, i in self._slots.items() if finished[s]]
@@ -273,19 +342,40 @@ class EngineServer:
                 content = [int(t) for t in
                            tokens[slot, info.prompt_len:pos[slot]]
                            if t != eot]
+                text = self.tokenizer.decode(content)
+                avg_lp = float(sum_lp[slot]) / max(int(lengths[slot]), 1)
+                ns = float(no_speech[slot])
+                verdict, cr = self._quality_verdict(
+                    text, avg_lp, ns, bool(degenerate[slot]))
+                temp = float(self.temperatures[info.temp_idx])
+                if (verdict == "fallback"
+                        and info.temp_idx + 1 < len(self.temperatures)):
+                    info.temp_idx += 1
+                    log.info("slot %d window %d degenerate (cr=%.2f, "
+                             "lp=%.2f%s); retrying at T=%.1f",
+                             slot, info.window_id, cr, avg_lp,
+                             ", rep-guard" if degenerate[slot] else "",
+                             self.temperatures[info.temp_idx])
+                    retries.append((slot, info))
+                    del self._slots[slot]
+                    continue
+                skipped = verdict == "skip"
                 result = WindowResult(
                     session_id=info.session_id, window_id=info.window_id,
-                    tokens=content,
-                    text=self.tokenizer.decode(content),
-                    avg_logprob=float(sum_lp[slot])
-                    / max(int(lengths[slot]), 1),
-                    no_speech_prob=float(no_speech[slot]),
+                    tokens=[] if skipped else content,
+                    text="" if skipped else text,
+                    avg_logprob=avg_lp, no_speech_prob=ns,
                     first_token_latency=(info.first_token_at
                                          or now) - info.submitted_at,
-                    latency=now - info.submitted_at)
+                    latency=now - info.submitted_at,
+                    temperature=temp, compression_ratio=cr,
+                    skipped_silence=skipped)
                 q = self._results.get(info.session_id)
                 if q is not None:
                     q.put(result)
                 del self._slots[slot]
                 done_mask[slot] = True
-        self.state = batcher.release(self.state, jnp.asarray(done_mask))
+        if done_mask.any():
+            self.state = batcher.release(self.state, jnp.asarray(done_mask))
+        for slot, info in retries:
+            self._install(slot, info)

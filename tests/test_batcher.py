@@ -141,10 +141,17 @@ def test_batcher_concurrent_slots_independent(setup):
     np.testing.assert_array_equal(t_b[:n], s_b[:n])
 
 
+# Random-init weights give avg_logprob ~ -log(V) ~ -10, which would trip the
+# fallback ladder on every window; tests not about the quality guards
+# neutralize them.
+NO_GUARDS = dict(temperatures=(0.0,), logprob_threshold=-1e9,
+                 no_speech_threshold=2.0)
+
+
 def test_engine_server_end_to_end(setup):
     cfg, params, tok = setup
     server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
-                          dtype=jnp.float32, tokenizer=tok)
+                          dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
     rng = np.random.default_rng(3)
     sid = server.open_session()
     sid2 = server.open_session()
@@ -172,7 +179,7 @@ def test_engine_server_end_to_end(setup):
 def test_engine_server_threaded(setup):
     cfg, params, tok = setup
     server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
-                          dtype=jnp.float32, tokenizer=tok)
+                          dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
     server.start()
     try:
         sid = server.open_session()
@@ -186,6 +193,120 @@ def test_engine_server_threaded(setup):
         server.stop()
 
 
+def test_repetition_guard_aborts_looping_slot(setup):
+    """Device-side repetition guard: a slot forced into a period-1 token
+    loop must finish early with degenerate=True instead of filling the
+    window (parity: whisper.cpp applies repetition heuristics per chunk,
+    src/engine/whisper.rs:204-305)."""
+    cfg, params, tok = setup
+    xkv = _xkv_for(cfg, params, seed=5, quant=True)
+    # Suppress every token except one text token → argmax loops on it.
+    forced = 777
+    suppress = np.ones(cfg.n_vocab_padded, bool)
+    suppress[forced] = False
+    prompt = tok.sot_sequence("en", "transcribe", timestamps=False)
+    state = batcher.init_state(cfg, n_slots=2, dtype=jnp.float32)
+    state = batcher.admit(cfg, params, state, jnp.int32(0), xkv,
+                          jnp.asarray([prompt], jnp.int32),
+                          jnp.asarray(False), prompt_len=len(prompt))
+    rep_threshold = 6
+    for _ in range(8):
+        state = batcher.step(cfg, params, state, jnp.asarray(suppress),
+                             inner_steps=4, blank_token=220,
+                             rep_threshold=rep_threshold)
+        if bool(np.asarray(state.finished[0])):
+            break
+    assert bool(np.asarray(state.finished[0]))
+    assert bool(np.asarray(state.degenerate[0]))
+    # Aborted well before the window filled.
+    assert int(np.asarray(state.length[0])) < 2 * rep_threshold + 4
+
+
+def test_temperature_sampling_rows_differ(setup):
+    """Rows at temperature > 0 sample; different rng keys on identical audio
+    should eventually diverge, and T=0 rows stay deterministic."""
+    cfg, params, tok = setup
+    xkv = _xkv_for(cfg, params, seed=6, quant=True)
+    prompt = tok.sot_sequence("en", "transcribe")
+    p = jnp.asarray([prompt], jnp.int32)
+    suppress = jnp.asarray(decoding.build_suppress_mask(
+        tok, cfg, decoding.DecodingOptions()))
+
+    def run(temp, seed):
+        state = batcher.init_state(cfg, n_slots=1, dtype=jnp.float32)
+        rng = np.asarray(jax.random.PRNGKey(seed), np.uint32)
+        state = batcher.admit(cfg, params, state, jnp.int32(0), xkv, p,
+                              jnp.asarray(True), prompt_len=len(prompt),
+                              temperature=jnp.float32(temp),
+                              rng=jnp.asarray(rng))
+        for _ in range(3):
+            state = batcher.step(cfg, params, state, suppress,
+                                 inner_steps=4, blank_token=220)
+        return np.asarray(state.tokens[0])
+
+    g1, g2 = run(0.0, 1), run(0.0, 2)
+    np.testing.assert_array_equal(g1, g2)       # greedy ignores rng
+    s1, s2 = run(1.5, 1), run(1.5, 2)
+    assert not np.array_equal(s1, s2)            # high temp diverges
+
+
+def test_server_fallback_ladder_and_recovery(setup):
+    """A pathological window (forced token loop) must climb the temperature
+    ladder and finally emit at the last rung — and the slot must recover to
+    serve a normal window afterwards."""
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=2, inner_steps=4,
+                          dtype=jnp.float32, tokenizer=tok,
+                          audio_ctx=256, max_decode_len=64,
+                          temperatures=(0.0, 0.5, 1.0), rep_threshold=4)
+    good_suppress = server._suppress
+    forced = np.ones(cfg.n_vocab_padded, bool)
+    forced[777] = False
+    server._suppress = jnp.asarray(forced)
+    rng = np.random.default_rng(31)
+    audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+    sid = server.open_session()
+    server.submit_window(sid, audio, window_id=0, timestamps=False)
+    for _ in range(300):
+        server.run_once()
+        if server._results[sid].qsize():
+            break
+    res = server.poll(sid)
+    assert res is not None
+    assert res.temperature == 1.0        # ladder exhausted at the last rung
+    # Slot recovered: normal window with the real mask completes sanely.
+    server._suppress = good_suppress
+    server.submit_window(sid, audio, window_id=1, timestamps=False)
+    for _ in range(300):
+        server.run_once()
+        if server._results[sid].qsize():
+            break
+    res2 = server.poll(sid)
+    assert res2 is not None and res2.window_id == 1
+    assert len(server._free_slots()) == 2
+
+
+def test_quality_verdict_rules(setup):
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=1, inner_steps=4,
+                          dtype=jnp.float32, tokenizer=tok,
+                          audio_ctx=256, max_decode_len=64)
+    # Confident silence → skip (even when logprob is degenerate).
+    assert server._quality_verdict("x", -2.0, 0.9, False)[0] == "skip"
+    # Repetition-guard abort → fallback.
+    assert server._quality_verdict("ok text", -0.1, 0.1, True)[0] == \
+        "fallback"
+    # High compression ratio → fallback.
+    loop_text = "the quick fox " * 40
+    v, cr = server._quality_verdict(loop_text, -0.1, 0.1, False)
+    assert v == "fallback" and cr > 2.4
+    # Low avg logprob → fallback.
+    assert server._quality_verdict("fine", -1.5, 0.1, False)[0] == "fallback"
+    # Healthy window → emit.
+    assert server._quality_verdict(
+        "a perfectly normal sentence", -0.2, 0.1, False)[0] == "emit"
+
+
 def test_peek_deterministic_under_concurrent_steps(setup):
     """peek() must never fail or misreport while the device loop donates
     state: tokens/pos are excluded from donation (batcher._PEEK_FIELDS), so
@@ -194,7 +315,7 @@ def test_peek_deterministic_under_concurrent_steps(setup):
     cfg, params, tok = setup
     server = EngineServer(cfg, params, n_slots=2, inner_steps=4,
                           dtype=jnp.float32, tokenizer=tok,
-                          audio_ctx=256, max_decode_len=64)
+                          audio_ctx=256, max_decode_len=64, **NO_GUARDS)
     server.start()
     try:
         sid = server.open_session()
@@ -226,7 +347,7 @@ def test_server_audio_ctx_restriction(setup):
     cfg, params, tok = setup
     server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
                           dtype=jnp.float32, tokenizer=tok, audio_ctx=256,
-                          max_decode_len=64)
+                          max_decode_len=64, **NO_GUARDS)
     assert server.state.xkv_k.shape[3] == 256
     assert server.state.cache_k.shape[3] == 64
     rng = np.random.default_rng(11)
@@ -248,7 +369,7 @@ def test_server_language_autodetect_with_quant_slots(setup):
     cfg, params, tok = setup
     server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
                           dtype=jnp.float32, tokenizer=tok,
-                          audio_ctx=256, max_decode_len=64)
+                          audio_ctx=256, max_decode_len=64, **NO_GUARDS)
     rng = np.random.default_rng(12)
     sid = server.open_session()
     audio = (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)

@@ -26,9 +26,13 @@ from openhush_tpu.utils.config import Config
 def server():
     cfg = get_config("test")
     params = whisper.init_params(cfg, jax.random.PRNGKey(0))
+    # Quality guards neutralized: random-init weights give avg_logprob
+    # ~ -log(V), which would send every window up the fallback ladder.
     return EngineServer(cfg, params, n_slots=2, inner_steps=8,
                         dtype=jnp.float32,
-                        tokenizer=WhisperTokenizer(cfg.n_langs))
+                        tokenizer=WhisperTokenizer(cfg.n_langs),
+                        temperatures=(0.0,), logprob_threshold=-1e9,
+                        no_speech_threshold=2.0)
 
 
 def _audio(secs=3.0):
