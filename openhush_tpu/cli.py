@@ -190,8 +190,121 @@ def cmd_model(args) -> int:
         return _convert_model(args)
     if args.model_cmd == "convert-m2m100":
         return _convert_m2m100(args)
+    if args.model_cmd == "convert-aux":
+        return _convert_aux(args)
     print(f"unknown model subcommand: {args.model_cmd}", file=sys.stderr)
     return 1
+
+
+AUX_KINDS = ("silero", "rnnoise", "wakeword-embedding",
+             "wakeword-classifier", "wespeaker", "segmentation")
+
+
+def _convert_aux(args) -> int:
+    """Convert an auxiliary-model checkpoint for TPU-side execution.
+
+    Parity targets: Silero VAD (src/vad/silero.rs:54), RNNoise weights
+    (src/input/audio.rs:293), openWakeWord's ONNX stages
+    (src/input/wake_word.rs:121-146), wespeaker embedding + pyannote
+    segmentation (src/diarization/mod.rs:266-299).
+
+    - silero:   torch-jit checkpoint → native JAX params npz
+                (.onnx inputs run through the generic importer instead)
+    - rnnoise:  published text model file → exact-topology npz
+    - wakeword-embedding / wakeword-classifier / wespeaker /
+      segmentation: .onnx graphs — parsed, op-coverage-validated,
+      dry-run on zeros when input shapes are static, then installed
+      for the ONNX→JAX importer to execute at load time.
+    """
+    import os
+
+    from openhush_tpu.runtime.engine import default_model_dir
+
+    which, path = args.which, args.path
+    aux_dir = os.path.join(default_model_dir(), "aux")
+    os.makedirs(aux_dir, exist_ok=True)
+
+    if which == "silero":
+        from openhush_tpu.models import silero
+        if path.endswith(".onnx"):
+            return _install_onnx(path, args.output
+                                 or os.path.join(aux_dir, "silero.onnx"))
+        params = silero.convert_jit(path)
+        out = args.output or os.path.join(aux_dir, "silero.npz")
+        silero.save_npz(params, out, pad_mode=args.stft_pad)
+        print(f"Converted Silero VAD → {out} (stft pad: {args.stft_pad}; "
+              f"validate with tools/validate_aux.py against the source "
+              f"checkpoint)")
+        return 0
+
+    if which == "rnnoise":
+        from openhush_tpu.ops import rnnoise_model
+        params = rnnoise_model.load(path)
+        out = args.output or os.path.join(aux_dir, "rnnoise.npz")
+        rnnoise_model.save_npz(params, out)
+        dims = {k: tuple(int(x) for x in
+                         (params[k].get("w", params[k].get("wx")).shape))
+                for k in params}
+        print(f"Converted RNNoise model → {out}  layers: {dims}")
+        return 0
+
+    if which in AUX_KINDS:
+        default_name = {"wakeword-embedding": "wakeword_embedding.onnx",
+                        "wakeword-classifier": "wakeword_classifier.onnx",
+                        "wespeaker": "wespeaker.onnx",
+                        "segmentation": "segmentation.onnx"}[which]
+        return _install_onnx(path, args.output
+                             or os.path.join(aux_dir, default_name))
+
+    print(f"unknown aux model kind: {which} (expected one of "
+          f"{', '.join(AUX_KINDS)})", file=sys.stderr)
+    return 1
+
+
+def _install_onnx(path: str, out: str) -> int:
+    """Validate an .onnx file against the JAX importer, then install it."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from openhush_tpu.models.onnx2jax import OnnxJaxModel, UnsupportedOnnxOp
+
+    model = OnnxJaxModel.load(path)
+    ops = sorted({n.op_type for n in model.model.graph.nodes})
+    print(f"Parsed {os.path.basename(path)}: "
+          f"{len(model.model.graph.nodes)} nodes, ops: {', '.join(ops)}")
+    # Dry-run on zeros when every input shape is static.
+    init_names = set(model.model.graph.initializers)
+    shapes = []
+    static = True
+    for vi in model.model.graph.inputs:
+        if vi.name in init_names:
+            continue
+        if not vi.shape or any(not isinstance(d, int) or d <= 0
+                               for d in vi.shape):
+            static = False
+            break
+        shapes.append(vi.shape)
+    if static:
+        try:
+            outs = model(*[np.zeros(s, np.float32) for s in shapes])
+            outs = outs if isinstance(outs, tuple) else (outs,)
+            print("Dry-run OK, outputs: "
+                  + ", ".join(str(tuple(np.asarray(o).shape))
+                              for o in outs))
+        except UnsupportedOnnxOp as exc:
+            print(f"ERROR: graph uses unsupported ops: {exc}",
+                  file=sys.stderr)
+            return 1
+    else:
+        print("(symbolic input shapes — skipping dry-run; the importer "
+              "validates at first call)")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.abspath(path) != os.path.abspath(out):
+        shutil.copyfile(path, out)
+    print(f"Installed → {out}")
+    return 0
 
 
 def _convert_m2m100(args) -> int:
@@ -279,6 +392,17 @@ def build_parser() -> argparse.ArgumentParser:
     pc2.add_argument("name", nargs="?", default="418M")
     pc2.add_argument("--hf-path", required=True)
     pc2.add_argument("--output", default=None)
+    pc3 = pm_sub.add_parser(
+        "convert-aux",
+        help="Convert an aux model (silero/rnnoise/wakeword-*/wespeaker/"
+             "segmentation)")
+    pc3.add_argument("which", choices=list(AUX_KINDS))
+    pc3.add_argument("path")
+    pc3.add_argument("--output", default=None)
+    pc3.add_argument("--stft-pad", choices=["left", "right", "both"],
+                     default="left",
+                     help="Silero STFT reflect-pad variant (see "
+                          "tools/validate_aux.py)")
 
     for name, helptext in [
             ("start", "Start the daemon"),

@@ -70,6 +70,26 @@ def speaker_embedding(params: dict, audio: jax.Array,
     return (emb / jnp.linalg.norm(emb, axis=-1, keepdims=True))[0]
 
 
+def kaldi_fbank(audio: np.ndarray, n_mels: int = N_MELS) -> np.ndarray:
+    """Kaldi-style log-mel fbank features for wespeaker embedders:
+    25 ms/10 ms frames @16 kHz, 0.97 pre-emphasis, povey-ish (hamming)
+    window, per-utterance mean normalization (wespeaker's CMN)."""
+    sr, win, hop = 16000, 400, 160
+    a = np.asarray(audio, np.float32)
+    if len(a) < win:
+        a = np.pad(a, (0, win - len(a)))
+    n_frames = 1 + (len(a) - win) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]
+    frames = a[idx]
+    frames = frames - 0.97 * np.concatenate(
+        [frames[:, :1], frames[:, :-1]], axis=1)
+    frames = frames * np.hamming(win).astype(np.float32)
+    spec = np.abs(np.fft.rfft(frames, n=512, axis=1)) ** 2
+    fb = mel_ops.mel_filter_bank(n_mels, 257, sr)
+    feats = np.log(np.maximum(spec @ fb, 1e-10)).astype(np.float32)
+    return feats - feats.mean(axis=0, keepdims=True)
+
+
 @dataclasses.dataclass
 class DiarizationConfig:
     similarity_threshold: float = 0.6
@@ -125,14 +145,37 @@ class DiarizationEngine:
 
     def __init__(self, config: Optional[DiarizationConfig] = None,
                  params: Optional[dict] = None,
-                 vad_engine=None):
+                 vad_engine=None, embedder_fn=None):
         from openhush_tpu.models.vad import VadEngine
         self.config = config or DiarizationConfig()
         self.params = params or init_embedder_params(jax.random.PRNGKey(0))
         self.clusterer = EmbeddingClusterer(self.config)
         self.vad = vad_engine or VadEngine(kind="energy")
+        self._embedder_fn = embedder_fn      # audio [T] → embedding [D]
+
+    @classmethod
+    def from_onnx(cls, embedder_path: str,
+                  config: Optional[DiarizationConfig] = None
+                  ) -> "DiarizationEngine":
+        """Back the embedder with a converted wespeaker .onnx
+        (reference: EmbeddingExtractor::compute,
+        src/diarization/mod.rs:266-299). wespeaker graphs take kaldi
+        fbank features [1, T, 80] and emit [1, D]."""
+        from openhush_tpu.models.onnx2jax import OnnxJaxModel
+        model = OnnxJaxModel.load(embedder_path)
+
+        def fn(audio: np.ndarray) -> np.ndarray:
+            feats = kaldi_fbank(audio)[None]           # [1, T, 80]
+            out = model(jnp.asarray(feats))
+            out = out[0] if isinstance(out, tuple) else out
+            e = np.asarray(out).reshape(-1)
+            return e / (np.linalg.norm(e) + 1e-12)
+
+        return cls(config, embedder_fn=fn)
 
     def embed(self, audio: np.ndarray) -> np.ndarray:
+        if self._embedder_fn is not None:
+            return self._embedder_fn(np.asarray(audio, np.float32))
         n_frames = max(1, len(audio) // mel_ops.HOP_LENGTH)
         need = n_frames * mel_ops.HOP_LENGTH
         a = np.zeros(need, np.float32)

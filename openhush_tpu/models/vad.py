@@ -199,6 +199,72 @@ class VadEngine:
         return SAMPLE_RATE
 
 
+class OnnxSileroVad:
+    """Silero VAD from the published .onnx, executed by the ONNX→JAX
+    importer. The v5 graph signature is (input [1,512], state [2,1,128],
+    sr scalar) → (prob, state); this wrapper threads the state."""
+
+    def __init__(self, path: str, threshold: float = 0.5):
+        from openhush_tpu.models.onnx2jax import OnnxJaxModel
+        self._model = OnnxJaxModel.load(path)
+        self.threshold = threshold
+        names = self._model.input_names
+        self._has_sr = any(n in ("sr", "sample_rate") for n in names)
+        self.reset()
+
+    def reset(self) -> None:
+        self._state = jnp.zeros((2, 1, 128), jnp.float32)
+
+    def process(self, samples: np.ndarray) -> VadResult:
+        chunk = np.zeros((1, CHUNK_SIZE), np.float32)
+        n = min(len(samples), CHUNK_SIZE)
+        chunk[0, :n] = samples[:n]
+        args = [jnp.asarray(chunk), self._state]
+        if self._has_sr:
+            args.append(np.asarray(SAMPLE_RATE, np.int64))
+        out = self._model(*args)
+        prob, state = (out if isinstance(out, tuple) else (out, None))[:2]
+        if state is not None:
+            self._state = state
+        p = float(np.asarray(prob).reshape(-1)[0])
+        return VadResult(p, p >= self.threshold)
+
+    @property
+    def chunk_size(self) -> int:
+        return CHUNK_SIZE
+
+    @property
+    def sample_rate(self) -> int:
+        return SAMPLE_RATE
+
+
+def create_engine(cfg) -> "VadEngine":
+    """Build the configured VAD engine with graceful degradation: a
+    missing/broken model falls back to the weight-free energy gate
+    (reference behavior: optional init logs and continues,
+    src/daemon.rs:79-86)."""
+    import logging
+    engine = getattr(cfg, "engine", "energy")
+    threshold = getattr(cfg, "threshold", 0.5)
+    path = getattr(cfg, "model_path", "")
+    try:
+        if engine == "silero" and path.endswith(".onnx"):
+            return OnnxSileroVad(path, threshold)
+        if engine == "silero":
+            from openhush_tpu.models.silero import SileroVad
+            return SileroVad.load(path, threshold)
+        if engine == "gru":
+            params = None
+            if path:
+                from openhush_tpu.models.whisper.convert import load_npz
+                params = load_npz(path)
+            return VadEngine(threshold, kind="gru", params=params)
+    except Exception as e:  # noqa: BLE001
+        logging.getLogger(__name__).warning(
+            "VAD engine %r unavailable (%s); using energy gate", engine, e)
+    return VadEngine(threshold, kind="energy")
+
+
 # ---------------------------------------------------------------------------
 # Streaming state machine (exact parity: src/vad/mod.rs:158-224)
 # ---------------------------------------------------------------------------

@@ -123,13 +123,49 @@ class WakeWordDetector:
 
     def __init__(self, config: Optional[WakeWordConfig] = None,
                  emb_params: Optional[dict] = None,
-                 cls_params: Optional[dict] = None):
+                 cls_params: Optional[dict] = None,
+                 emb_fn=None, cls_fn=None):
         self.config = config or WakeWordConfig()
         key = jax.random.PRNGKey(0)
         self.emb_params = emb_params or init_embedding_params(key)
         self.cls_params = cls_params or init_classifier_params(
             jax.random.fold_in(key, 1))
+        # Injectable stages: converted openWakeWord ONNX graphs
+        # (src/input/wake_word.rs:121-146) run here via models/onnx2jax.
+        self._emb_fn = emb_fn or (
+            lambda mel: embed_window(self.emb_params, mel))
+        self._cls_fn = cls_fn or (
+            lambda embs: classify_window(self.cls_params, embs))
         self.reset()
+
+    @classmethod
+    def from_onnx(cls, embedding_path: str, classifier_path: str,
+                  config: Optional[WakeWordConfig] = None
+                  ) -> "WakeWordDetector":
+        """Back stages 2+3 with converted openWakeWord .onnx graphs.
+
+        openWakeWord's embedding model takes a [1, 76, 32, 1] mel image
+        and emits [1, 1, 1, 96]; the per-word classifier takes
+        [1, 16, 96] and emits [1, 1] (pipeline constants:
+        src/input/wake_word.rs:22-40). Adapters reshape between those
+        layouts and this detector's [76,32]/[16,96] histories.
+        """
+        from openhush_tpu.models.onnx2jax import OnnxJaxModel
+        emb = OnnxJaxModel.load(embedding_path)
+        cls_m = OnnxJaxModel.load(classifier_path)
+
+        def emb_fn(mel):
+            out = emb.jitted(jnp.reshape(mel, (1, EMB_WINDOW,
+                                               N_MEL_BINS, 1)))
+            out = out[0] if isinstance(out, tuple) else out
+            return jnp.reshape(out, (-1,))[:EMB_DIM]
+
+        def cls_fn(embs):
+            out = cls_m.jitted(jnp.reshape(embs, (1, CLS_WINDOW, EMB_DIM)))
+            out = out[0] if isinstance(out, tuple) else out
+            return jnp.reshape(out, (-1,))[-1]
+
+        return cls(config, emb_fn=emb_fn, cls_fn=cls_fn)
 
     def reset(self) -> None:
         self._tail = np.zeros(mel_ops.N_FFT - mel_ops.HOP_LENGTH,
@@ -159,16 +195,14 @@ class WakeWordDetector:
         if self._mel_filled < EMB_WINDOW:
             return None
 
-        emb = np.asarray(embed_window(self.emb_params,
-                                      jnp.asarray(self._mel_hist)))
+        emb = np.asarray(self._emb_fn(jnp.asarray(self._mel_hist)))
         self._emb_hist = np.roll(self._emb_hist, -1, axis=0)
         self._emb_hist[-1] = emb
         self._emb_filled = min(self._emb_filled + 1, CLS_WINDOW)
         if self._emb_filled < CLS_WINDOW:
             return None
 
-        score = float(classify_window(self.cls_params,
-                                      jnp.asarray(self._emb_hist)))
+        score = float(self._cls_fn(jnp.asarray(self._emb_hist)))
         self._chunks_since_trigger += 1
         return score
 

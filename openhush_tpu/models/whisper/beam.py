@@ -181,7 +181,7 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
         flat_next = alive_tok.reshape(B * K)
         new_ts = decoding._update_ts_state(
             jax.tree.map(lambda x: x.reshape(B * K), ts_state), flat_next,
-            sp_consts)
+            sp_consts, step)
         ts_state = jax.tree.map(lambda x: x.reshape(B, K), new_ts)
 
         # Gather cache rows (flat index = b*K + parent).

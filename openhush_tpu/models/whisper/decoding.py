@@ -82,47 +82,56 @@ def _timestamp_filter(logits, sp_consts, state, step, max_initial_index):
 
     state: (prev_was_ts [B], prevprev_was_ts [B], ts_floor [B]) where ts_floor
     is the minimum allowed timestamp token id (monotonicity).
+    step: scalar or per-row [B] sampled-token count (continuous batching
+    runs per-row decode clocks).
     """
     ts_begin, eot = sp_consts
     B, V = logits.shape
     vocab_ids = jnp.arange(V)[None, :]                     # [1, V]
     is_ts = vocab_ids >= ts_begin
     prev_was_ts, prevprev_was_ts, ts_floor = state
+    step = jnp.broadcast_to(jnp.asarray(step), (B,))
+    # openai-whisper: penultimate_was_timestamp is True when fewer than
+    # two tokens have been sampled (decoding.py ApplyTimestampRules), so
+    # the step-0 initial timestamp forces *text* at step 1, not a pair.
+    penult_was_ts = prevprev_was_ts | (step < 2)
 
     # Rule: after a timestamp pair → no timestamps; after a lone timestamp →
     # only timestamps or EOT.
-    block_ts = (prev_was_ts & prevprev_was_ts)[:, None] & is_ts
-    block_text = (prev_was_ts & ~prevprev_was_ts)[:, None] & (vocab_ids < eot)
+    block_ts = (prev_was_ts & penult_was_ts)[:, None] & is_ts
+    block_text = (prev_was_ts & ~penult_was_ts)[:, None] & (vocab_ids < eot)
     # Monotonic: timestamps below the floor are illegal.
     block_old_ts = is_ts & (vocab_ids < ts_floor[:, None])
     logits = jnp.where(block_ts | block_text | block_old_ts, NEG_INF, logits)
 
-    # First sampled token must be a timestamp, capped at max_initial.
-    first = step == 0
+    # First sampled token must be a timestamp, capped at max_initial
+    # (openai blocks everything below timestamp_begin here, EOT included).
+    first = (step == 0)[:, None]
     init_block = (~is_ts) | (vocab_ids > ts_begin + max_initial_index)
-    logits = jnp.where(first & init_block & (vocab_ids != eot), NEG_INF, logits)
-    # (whisper masks EOT at the first step too via suppress_blank; keep EOT
-    # legal here and let suppress_blank decide.)
-    logits = jnp.where(first & (vocab_ids == eot), NEG_INF, logits)
+    logits = jnp.where(first & init_block, NEG_INF, logits)
 
     # Probability rule: if p(any timestamp) > max p(text) → force timestamp.
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     ts_logprob = jax.nn.logsumexp(
         jnp.where(is_ts, logprobs, NEG_INF), axis=-1)      # [B]
     max_text = jnp.max(jnp.where(is_ts, NEG_INF, logprobs), axis=-1)
-    force_ts = (ts_logprob > max_text)[:, None] & ~is_ts & (vocab_ids != eot)
+    # (openai blocks all ids below timestamp_begin here, EOT included.)
+    force_ts = (ts_logprob > max_text)[:, None] & ~is_ts
     return jnp.where(force_ts, NEG_INF, logits)
 
 
-def _update_ts_state(state, next_tok, sp_consts):
+def _update_ts_state(state, next_tok, sp_consts, step):
     ts_begin, _ = sp_consts
     prev_was_ts, prevprev_was_ts, ts_floor = state
     is_ts = next_tok >= ts_begin
-    # After completing a pair (prev was lone ts, now ts again) the floor moves
-    # past the new timestamp; a lone timestamp sets the floor at itself.
+    # openai floor semantics (timestamp_last in ApplyTimestampRules): a
+    # *lone* timestamp keeps equality legal (its pair partner may repeat
+    # it); a pair-completing timestamp — or the step-0 initial timestamp,
+    # which openai's len<2 rule treats as already paired — moves the
+    # floor past itself.
+    exclusive = prev_was_ts | (step == 0)
     new_floor = jnp.where(
-        is_ts, jnp.where(prev_was_ts & ~prevprev_was_ts, next_tok + 1,
-                         next_tok), ts_floor)
+        is_ts, jnp.where(exclusive, next_tok + 1, next_tok), ts_floor)
     return (is_ts, prev_was_ts, jnp.maximum(ts_floor, new_floor))
 
 
@@ -192,7 +201,7 @@ def greedy_loop(cfg: WhisperConfig, params, cross_kv, cache,
         lengths = lengths + jnp.where(finished, 0, 1)
         ts_state = jax.tree.map(
             lambda new, old: jnp.where(finished, old, new),
-            _update_ts_state(ts_state, next_tok, sp_consts), ts_state)
+            _update_ts_state(ts_state, next_tok, sp_consts, step), ts_state)
         finished = finished | (next_tok == eot)
 
         tokens = jax.lax.dynamic_update_slice(

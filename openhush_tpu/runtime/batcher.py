@@ -260,15 +260,11 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
         lg = jnp.where(first[:, None] & blank_mask[None, :], NEG_INF, lg)
 
         ts_state = (state.ts_prev, state.ts_prevprev, state.ts_floor)
-        # step=1 disables the filter's *global* first-step branch; the
-        # per-row equivalent (continuous batching has per-row clocks) is
-        # applied right after.
+        # The filter takes per-row decode clocks directly (continuous
+        # batching: each slot is at its own step).
         lg_ts = decoding._timestamp_filter(
-            lg, sp_consts, ts_state, jnp.int32(1), max_initial_index)
+            lg, sp_consts, ts_state, state.length, max_initial_index)
         is_ts = ids[None, :] >= sp.timestamp_begin
-        init_block = (~is_ts) | (ids[None, :] >
-                                 sp.timestamp_begin + max_initial_index)
-        lg_ts = jnp.where(first[:, None] & init_block, NEG_INF, lg_ts)
         lg = jnp.where(state.use_ts[:, None], lg_ts, lg)
         no_ts_mask = state.use_ts[:, None] | ~is_ts
         lg = jnp.where(no_ts_mask, lg, NEG_INF)  # suppress ts if disabled
@@ -307,7 +303,8 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
         sum_lp = state.sum_logprob + jnp.where(live, tok_lp, 0.0)
         length = state.length + jnp.where(live, 1, 0)
 
-        new_ts = decoding._update_ts_state(ts_state, nxt, sp_consts)
+        new_ts = decoding._update_ts_state(ts_state, nxt, sp_consts,
+                                           state.length)
         keep = lambda new, old: jnp.where(live, new, old)
         ts_prev = keep(new_ts[0], state.ts_prev)
         ts_prevprev = keep(new_ts[1], state.ts_prevprev)

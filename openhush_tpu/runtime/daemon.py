@@ -114,8 +114,7 @@ class Daemon:
         self.output = output or (lambda text: print(text, flush=True))
         self.ring = RingBuffer(duration_secs=60.0)
         self.tracker = TranscriptionTracker(streaming=True)
-        self.vad_engine = vad_engine or vad_mod.VadEngine(
-            threshold=config.vad.threshold)
+        self.vad_engine = vad_engine or vad_mod.create_engine(config.vad)
         self.vad_state = vad_mod.VadState(vad_mod.VadStateConfig(
             threshold=config.vad.threshold,
             min_silence_ms=config.vad.min_silence_ms,
@@ -177,9 +176,17 @@ class Daemon:
             try:
                 from openhush_tpu.models.wakeword import (WakeWordConfig,
                                                           WakeWordDetector)
-                self.wake_detector = WakeWordDetector(WakeWordConfig(
+                ww_cfg = WakeWordConfig(
                     threshold=config.wake_word.threshold,
-                    model_name=config.wake_word.model))
+                    model_name=config.wake_word.model)
+                emb_p = getattr(config.wake_word, "embedding_path", "")
+                cls_p = getattr(config.wake_word, "classifier_path", "")
+                if emb_p and cls_p:
+                    # converted openWakeWord ONNX stages
+                    self.wake_detector = WakeWordDetector.from_onnx(
+                        emb_p, cls_p, ww_cfg)
+                else:
+                    self.wake_detector = WakeWordDetector(ww_cfg)
             except Exception as e:  # noqa: BLE001
                 log.warning("Wake word disabled: %s", e)
 

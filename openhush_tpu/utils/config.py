@@ -84,6 +84,10 @@ class VadConfig:
     min_speech_ms: int = 250
     min_silence_ms: int = 700
     pad_ms: int = 30
+    # engine selection (superset of the reference schema, which always
+    # runs Silero): energy (weight-free default) | gru | silero.
+    engine: str = "energy"
+    model_path: str = ""             # converted silero .npz / .onnx
 
 
 @dataclasses.dataclass
@@ -91,6 +95,9 @@ class WakeWordConfig:
     enabled: bool = False
     model: str = "hey_jarvis"
     threshold: float = 0.5
+    # converted openWakeWord stages (openhush model convert-aux …)
+    embedding_path: str = ""
+    classifier_path: str = ""
 
 
 @dataclasses.dataclass
