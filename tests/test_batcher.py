@@ -14,6 +14,12 @@ from openhush_tpu.runtime.server import EngineServer
 from openhush_tpu.text.tokenizer import WhisperTokenizer
 
 
+
+# Heavy end-to-end module: excluded from the bounded core lane
+# (`pytest -m "not slow"`, CI PR job); the nightly full-suite job
+# and OPENHUSH_TEST_TPU runs include it.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def setup():
     cfg = get_config("test")

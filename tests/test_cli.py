@@ -10,6 +10,12 @@ import sys
 import numpy as np
 import pytest
 
+
+# Heavy end-to-end module: excluded from the bounded core lane
+# (`pytest -m "not slow"`, CI PR job); the nightly full-suite job
+# and OPENHUSH_TEST_TPU runs include it.
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -10,6 +10,12 @@ from openhush_tpu.runtime.engine import (WhisperEngine, compression_ratio,
 from openhush_tpu.runtime.validation import AudioValidationError
 
 
+
+# Heavy end-to-end module: excluded from the bounded core lane
+# (`pytest -m "not slow"`, CI PR job); the nightly full-suite job
+# and OPENHUSH_TEST_TPU runs include it.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def engine():
     return WhisperEngine("test", allow_random_init=True, dtype="float32",

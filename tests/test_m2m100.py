@@ -10,6 +10,12 @@ torch = pytest.importorskip("torch")
 import transformers  # noqa: E402
 
 
+
+# Heavy end-to-end module: excluded from the bounded core lane
+# (`pytest -m "not slow"`, CI PR job); the nightly full-suite job
+# and OPENHUSH_TEST_TPU runs include it.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def pair():
     hf_cfg = transformers.M2M100Config(

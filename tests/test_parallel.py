@@ -12,6 +12,12 @@ from openhush_tpu.parallel import sharding as sh
 from openhush_tpu.training import train
 
 
+
+# Heavy end-to-end module: excluded from the bounded core lane
+# (`pytest -m "not slow"`, CI PR job); the nightly full-suite job
+# and OPENHUSH_TEST_TPU runs include it.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def cfg():
     return WhisperConfig(

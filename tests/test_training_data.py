@@ -15,6 +15,12 @@ from openhush_tpu.training import data as tdata
 from openhush_tpu.training.train import IGNORE_ID
 
 
+
+# Heavy end-to-end module: excluded from the bounded core lane
+# (`pytest -m "not slow"`, CI PR job); the nightly full-suite job
+# and OPENHUSH_TEST_TPU runs include it.
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def tiny_cfg():
     # Short contexts keep CPU fine-tuning fast.

@@ -18,6 +18,12 @@ from openhush_tpu.text.tokenizer import WhisperTokenizer
 
 # ---------- wake word ----------
 
+
+# Heavy end-to-end module: excluded from the bounded core lane
+# (`pytest -m "not slow"`, CI PR job); the nightly full-suite job
+# and OPENHUSH_TEST_TPU runs include it.
+pytestmark = pytest.mark.slow
+
 def _chunks(secs, seed=0, amp=0.3):
     rng = np.random.default_rng(seed)
     n = int(16000 * secs)

@@ -20,6 +20,12 @@ from openhush_tpu.models.whisper.convert import (config_from_hf,
 torch = pytest.importorskip("torch")
 import transformers  # noqa: E402
 
+
+# Heavy end-to-end module: excluded from the bounded core lane
+# (`pytest -m "not slow"`, CI PR job); the nightly full-suite job
+# and OPENHUSH_TEST_TPU runs include it.
+pytestmark = pytest.mark.slow
+
 TEST_VOCAB = 1000
 
 
