@@ -80,8 +80,16 @@ def data_sharding(mesh: Mesh, trailing_none: int = 0):
 
 
 def cache_spec() -> P:
-    """KV cache [L, B, H, T, Dh]: batch on data, heads on model."""
-    return P(None, DATA_AXIS, MODEL_AXIS, None, None)
+    """KV cache, flat layout [L, B, T, H*Dh]: batch on data, the
+    head-contiguous feature dim on model (head h owns columns
+    h*Dh:(h+1)*Dh, so a model-axis split is a split over head groups)."""
+    return P(None, DATA_AXIS, None, MODEL_AXIS)
+
+
+def kv_scale_spec() -> P:
+    """Quantized-KV scales [L, B, T, H]: heads on model (aligned with
+    cache_spec's head-group split)."""
+    return P(None, DATA_AXIS, None, MODEL_AXIS)
 
 
 def replicated(mesh: Mesh):

@@ -7,9 +7,12 @@ by one token per dispatch, with admission and eviction happening *between*
 steps at fixed shapes — no recompilation, no per-session graphs.
 
 Device state (all fixed-shape; donated through the step kernel except the
-peek-readable tokens/pos tape — see _PEEK_FIELDS):
-  cache [L, B, H, n_ctx, Dh]   per-slot self-attention KV
-  xkv   [L, B, H, 1500, Dh]    per-slot cross-attention KV (encoder output)
+peek-readable tokens/pos tape — see _PEEK_FIELDS). KV uses the FLAT
+head-contiguous layout (whisper.KVCache) so each decode step scores all
+heads with one MXU dot per row:
+  cache [L, B, n_ctx, H*Dh]    per-slot self-attention KV
+  xkv   [L, B, A, H*Dh] int8   per-slot cross-attention KV (+ [L,B,A,H]
+                               per-(position, head) scales)
   tokens [B, n_ctx]            prompt + generated ids
   pos [B] / length [B]         per-row decode offsets (decode() vector-pos)
   last_logits [B, V]           carried between dispatches
@@ -40,8 +43,8 @@ NEG_INF = decoding.NEG_INF
 class SlotState(NamedTuple):
     cache_k: jax.Array
     cache_v: jax.Array
-    xkv_k: jax.Array          # int8 [L, B, H, A, Dh]
-    xkv_ks: jax.Array         # f32  [L, B, H, A] per-position scales
+    xkv_k: jax.Array          # int8 [L, B, A, H*Dh] (flat layout)
+    xkv_ks: jax.Array         # f32  [L, B, A, H] per-(position, head) scales
     xkv_v: jax.Array
     xkv_vs: jax.Array
     tokens: jax.Array        # [B, n_ctx] int32
@@ -82,14 +85,14 @@ def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
     A = audio_ctx or cfg.n_audio_ctx
     sp = WhisperTokenizer(cfg.n_langs).special
     return SlotState(
-        cache_k=jnp.zeros((L, B, H, T, Dh), dtype),
-        cache_v=jnp.zeros((L, B, H, T, Dh), dtype),
+        cache_k=jnp.zeros((L, B, T, H * Dh), dtype),
+        cache_v=jnp.zeros((L, B, T, H * Dh), dtype),
         # Cross-KV slots are ALWAYS int8 (halves the dominant per-step read
         # and doubles session capacity; argmax-identical output).
-        xkv_k=jnp.zeros((L, B, H, A, Dh), jnp.int8),
-        xkv_ks=jnp.zeros((L, B, H, A), jnp.float32),
-        xkv_v=jnp.zeros((L, B, H, A, Dh), jnp.int8),
-        xkv_vs=jnp.zeros((L, B, H, A), jnp.float32),
+        xkv_k=jnp.zeros((L, B, A, H * Dh), jnp.int8),
+        xkv_ks=jnp.zeros((L, B, A, H), jnp.float32),
+        xkv_v=jnp.zeros((L, B, A, H * Dh), jnp.int8),
+        xkv_vs=jnp.zeros((L, B, A, H), jnp.float32),
         tokens=jnp.full((B, T), sp.eot, jnp.int32),
         pos=jnp.zeros((B,), jnp.int32),
         prompt_len=jnp.zeros((B,), jnp.int32),
@@ -139,8 +142,8 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
           rng: Optional[jax.Array] = None) -> SlotState:
     """Install a session into `slot` and prefill its prompt.
 
-    new_xkv: quantized cross-KV for ONE row ([L, 1, H, A, Dh] int8 +
-    [L, 1, H, A] scales); prompt: [1, prompt_len]. temperature > 0 switches
+    new_xkv: quantized cross-KV for ONE row ([L, 1, A, H*Dh] int8 +
+    [L, 1, A, H] scales, flat layout); prompt: [1, prompt_len]. temperature > 0 switches
     the row to sampling with `rng` (the harvest-time fallback ladder)."""
     donated, kept = _pack(state)
     if temperature is None:
@@ -174,9 +177,9 @@ def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
     zero_row = jnp.zeros_like(
         jax.lax.dynamic_slice_in_dim(state.cache_k, 0, 1, axis=1))
     cache_k = jax.lax.dynamic_update_slice(
-        state.cache_k, zero_row, (0, slot, 0, 0, 0))
+        state.cache_k, zero_row, (0, slot, 0, 0))
     cache_v = jax.lax.dynamic_update_slice(
-        state.cache_v, zero_row, (0, slot, 0, 0, 0))
+        state.cache_v, zero_row, (0, slot, 0, 0))
 
     # Prefill this row alone.
     row_cache = whisper.KVCache(
@@ -186,9 +189,9 @@ def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
     logits, row_cache = whisper.decode(cfg, params, prompt, jnp.int32(0),
                                        row_cache, row_xkv)
     cache_k = jax.lax.dynamic_update_slice(cache_k, row_cache.k,
-                                           (0, slot, 0, 0, 0))
+                                           (0, slot, 0, 0))
     cache_v = jax.lax.dynamic_update_slice(cache_v, row_cache.v,
-                                           (0, slot, 0, 0, 0))
+                                           (0, slot, 0, 0))
     sot_probs = jax.nn.softmax(logits[:, 0].astype(jnp.float32), -1)
 
     tokens_row = jnp.full((1, T), sp.eot, jnp.int32)

@@ -134,11 +134,17 @@ class EngineServer:
             lambda p, f: whisper.compute_cross_kv_quant(cfg, p, f))
 
         self._pending: queue.Queue[_Pending] = queue.Queue()
+        # Prepared windows (encoded + language-resolved) awaiting a slot.
+        # A dedicated prep thread fills this so the step loop never stalls
+        # on admission work (mel → encode → cross-KV → language detect,
+        # which includes a host sync): the scheduler turn only installs.
+        self._ready: queue.Queue[tuple[_Pending, _SlotInfo]] = queue.Queue()
         self._slots: dict[int, _SlotInfo] = {}
         self._results: dict[int, queue.Queue] = {}
         self._lock = threading.Lock()
         self._running = False
         self._thread: Optional[threading.Thread] = None
+        self._prep_thread: Optional[threading.Thread] = None
         self._seq = 0
 
     # -- public API -----------------------------------------------------------
@@ -194,12 +200,17 @@ class EngineServer:
                 if t != self.tokenizer.special.eot]
 
     def queue_depth(self) -> int:
-        return self._pending.qsize() + len(self._slots)
+        return (self._pending.qsize() + self._ready.qsize()
+                + len(self._slots))
 
     # -- device loop ------------------------------------------------------------
 
     def start(self) -> None:
         self._running = True
+        self._prep_thread = threading.Thread(target=self._prep_loop,
+                                             daemon=True,
+                                             name="engine-server-prep")
+        self._prep_thread.start()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="engine-server")
         self._thread.start()
@@ -208,15 +219,44 @@ class EngineServer:
         self._running = False
         if self._thread:
             self._thread.join(timeout=30)
+        if self._prep_thread:
+            self._prep_thread.join(timeout=30)
 
     def _loop(self) -> None:
         while self._running:
             if not self.run_once():
                 time.sleep(0.002)
 
+    def _prep_loop(self) -> None:
+        """Encode pending windows concurrently with the step loop. One
+        thread keeps per-session FIFO order; the device interleaves the
+        encode with decode steps on its own queue."""
+        while self._running:
+            try:
+                job = self._pending.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            try:
+                self._ready.put((job, self._prepare(job)))
+            except Exception:  # noqa: BLE001
+                log.exception("window preparation failed; dropping window "
+                              "%d of session %d", job.window_id,
+                              job.session_id)
+
     def run_once(self) -> bool:
-        """One scheduler turn: admit → step → harvest. Returns True if any
-        work happened (used for idle backoff)."""
+        """One scheduler turn: admit prepared windows → step → harvest.
+        Returns True if any work happened (used for idle backoff).
+
+        When the server is driven synchronously (tests, one-shot batch
+        transcription — no start()), pending windows are prepared inline
+        here instead of by the prep thread."""
+        if self._prep_thread is None or not self._prep_thread.is_alive():
+            while not self._pending.empty() and self._free_slots():
+                try:
+                    job = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                self._ready.put((job, self._prepare(job)))
         worked = self._admit_pending()
         with self._lock:
             any_active = bool(self._slots)
@@ -240,14 +280,18 @@ class EngineServer:
         admitted = False
         for slot in self._free_slots():
             try:
-                job = self._pending.get_nowait()
+                job, info = self._ready.get_nowait()
             except queue.Empty:
                 break
-            self._admit(slot, job)
+            self._install(slot, info)
             admitted = True
+            log.debug("admitted session %d window %d into slot %d",
+                      job.session_id, job.window_id, slot)
         return admitted
 
-    def _admit(self, slot: int, job: _Pending) -> None:
+    def _prepare(self, job: _Pending) -> _SlotInfo:
+        """All per-window work that doesn't need a slot: preprocess, mel,
+        encode, cross-KV, language detect. Runs off the scheduler thread."""
         tok = self.tokenizer
         if self.preprocess is not None:
             try:
@@ -270,13 +314,10 @@ class EngineServer:
             langs, _ = decoding.detect_language(self.cfg, self.params, xkv,
                                                 tok)
             language = langs[0]
-        info = _SlotInfo(job.session_id, job.window_id, 0,
+        return _SlotInfo(job.session_id, job.window_id, 0,
                          job.submitted_at, time.monotonic(),
                          xkv=xkv, language=language, task=job.task,
                          timestamps=job.timestamps, temp_idx=0)
-        self._install(slot, info)
-        log.debug("admitted session %d window %d into slot %d",
-                  job.session_id, job.window_id, slot)
 
     def _install(self, slot: int, info: _SlotInfo) -> None:
         """(Re-)prefill `slot` from its cached cross-KV at the ladder

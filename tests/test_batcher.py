@@ -354,8 +354,8 @@ def test_server_audio_ctx_restriction(setup):
     server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
                           dtype=jnp.float32, tokenizer=tok, audio_ctx=256,
                           max_decode_len=64, **NO_GUARDS)
-    assert server.state.xkv_k.shape[3] == 256
-    assert server.state.cache_k.shape[3] == 64
+    assert server.state.xkv_k.shape[2] == 256   # flat [L, B, A, H*Dh]
+    assert server.state.cache_k.shape[2] == 64
     rng = np.random.default_rng(11)
     sid = server.open_session()
     audio = (0.2 * rng.standard_normal(16000 * 3)).astype(np.float32)
