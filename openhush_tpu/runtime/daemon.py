@@ -304,9 +304,21 @@ class Daemon:
 
     # -- main loop -----------------------------------------------------------------
 
-    def run(self, max_runtime: Optional[float] = None) -> None:
+    def run(self, max_runtime: Optional[float] = None,
+            enable_tray: bool = True) -> None:
         write_pid_file()
         self._ipc.start()
+        # System tray (StatusNotifierItem; graceful when no SNI host —
+        # parity: daemon.rs:843-859 tray init warning path, gated by the
+        # --no-tray flag like main.rs:57-59).
+        self._tray = None
+        if enable_tray:
+            try:
+                from openhush_tpu.ui.tray import SniTray
+                self._tray = SniTray()
+                log.info("System tray initialized")
+            except Exception as e:  # noqa: BLE001
+                log.info("System tray unavailable (%s); continuing", e)
         # Global hotkey (push-to-talk / toggle by config.hotkey.mode).
         self._hotkey = None
         try:
@@ -383,6 +395,8 @@ class Daemon:
                         self.wake_detector is not None:
                     self._wake_tick()
                 self._drain_results()
+                if self._tray is not None and not self._tray_tick():
+                    break           # Quit picked from the tray menu
                 time.sleep(0.005)
         finally:
             self.shutdown()
@@ -401,8 +415,51 @@ class Daemon:
             self._hotkey.stop()
         if getattr(self, "_dbus", None) is not None:
             self._dbus.stop()
+        if getattr(self, "_tray", None) is not None:
+            try:
+                self._tray.stop()
+            except Exception:  # noqa: BLE001
+                pass
         self._ipc.stop()
         remove_pid_file()
+
+    def _tray_tick(self) -> bool:
+        """Poll tray events + refresh the status icon; False = quit
+        requested (parity: daemon.rs:1251-1271)."""
+        from openhush_tpu.ui.tray import TrayEvent, TrayStatus
+        ev = self._tray.try_recv()
+        if ev is TrayEvent.QUIT:
+            log.info("Quit requested from tray")
+            return False
+        if ev is TrayEvent.SHOW_PREFERENCES:
+            log.info("Opening preferences from tray")
+            self._spawn_preferences()
+        if self.state != DaemonState.IDLE:
+            status = TrayStatus.RECORDING
+        elif self.tracker.pending_count > 0:
+            status = TrayStatus.PROCESSING
+        else:
+            status = TrayStatus.IDLE
+        try:
+            self._tray.set_status(status)
+        except Exception:  # noqa: BLE001 — bus went away; keep running
+            pass
+        return True
+
+    def _spawn_preferences(self) -> None:
+        """Open the preferences UI as a detached subprocess (parity:
+        gui::spawn_preferences, src/gui/mod.rs:52 — the reference also
+        re-execs itself with a `preferences` argument)."""
+        import subprocess
+        import sys
+        try:
+            subprocess.Popen(
+                [sys.executable, "-m", "openhush_tpu.cli", "preferences",
+                 "--open"],
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                start_new_session=True)
+        except OSError as e:
+            log.warning("could not spawn preferences UI: %s", e)
 
     def _handle_dbus(self, member: str):
         """org.openhush.Daemon1 methods (parity: src/dbus/interface.rs:35)."""
@@ -618,6 +675,9 @@ class Daemon:
             return {"ok": True, "version": __version__}
         if cmd in ("load_model", "unload_model"):
             return {"ok": True}  # engine server keeps the model resident
+        if cmd == "reload":
+            self.reload_config()
+            return {"ok": True}
         return {"ok": False, "error": f"unknown command {cmd!r}"}
 
 
@@ -713,13 +773,15 @@ def _build_daemon(foreground: bool = True) -> Daemon:
 
 def cmd_start(args: list[str]) -> int:
     logging.basicConfig(level=logging.INFO)
+    # --no-tray disables the SNI tray icon (parity: main.rs:57-59).
+    enable_tray = "--no-tray" not in args
     try:
         daemon = _build_daemon()
     except FileNotFoundError as e:
         print(str(e), file=sys.stderr)
         return 1
     try:
-        daemon.run()
+        daemon.run(enable_tray=enable_tray)
     except RuntimeError as e:
         print(str(e), file=sys.stderr)
         return 1
@@ -1027,11 +1089,37 @@ def cmd_service(args: list[str]) -> int:
     return 2
 
 
+def _serve_ui(page: str, open_browser: bool = True) -> int:
+    """Run the web preferences/wizard UI until interrupted."""
+    from openhush_tpu.ui.web import PrefsServer
+
+    ui = PrefsServer()
+    ui.start()
+    url = ui.url(page)
+    print(f"OpenHush UI: {url}")
+    if open_browser:
+        import webbrowser
+        try:
+            webbrowser.open(url)
+        except Exception:  # noqa: BLE001 — headless session
+            pass
+    try:
+        while True:
+            time.sleep(0.5)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        ui.stop()
+    return 0
+
+
 def cmd_setup(args: list[str]) -> int:
     """openhush setup — first-run wizard: pick a model by hardware, set the
     hotkey, test the mic, write config (CLI equivalent of the reference's
     egui wizard, src/gui/wizard.rs: model pick / hotkey / mic test /
-    daemon start)."""
+    daemon start). --web serves the browser wizard instead."""
+    if "--web" in args:
+        return _serve_ui("/wizard", open_browser="--no-browser" not in args)
     from openhush_tpu.models.whisper.config import CONFIGS
     from openhush_tpu.runtime.engine import default_model_dir
     from openhush_tpu.utils.config import Config, config_path
@@ -1100,12 +1188,15 @@ def cmd_setup(args: list[str]) -> int:
 
 
 def cmd_preferences(args: list[str]) -> int:
-    """openhush preferences — open config.toml in $EDITOR, validating the
-    result (headless counterpart of the egui preferences window)."""
+    """openhush preferences — web preferences UI with --open/--web
+    (counterpart of the egui preferences window, src/gui/mod.rs), or
+    config.toml in $EDITOR otherwise."""
     import subprocess
 
     from openhush_tpu.utils.config import Config, config_path
 
+    if "--open" in args or "--web" in args:
+        return _serve_ui("/", open_browser="--no-browser" not in args)
     path = config_path()
     if not os.path.exists(path):
         Config().save(path)

@@ -17,7 +17,7 @@ from typing import Callable, Optional
 
 COMMANDS = ("status", "stop", "load_model", "unload_model",
             "start_recording", "stop_recording", "toggle_recording",
-            "queue_depth", "version")
+            "start_continuous", "queue_depth", "version", "reload")
 
 
 def socket_path() -> str:

@@ -1,0 +1,452 @@
+"""Web-based preferences + first-run wizard UI.
+
+TPU-host counterpart of the reference's egui windows (src/gui/mod.rs —
+preferences, src/gui/wizard.rs:797 — model pick / hotkey / mic test /
+daemon start, src/gui/channel_selector.rs — input-channel picker): a
+desktop GPU toolkit makes no sense on a headless TPU host, so the UX
+shell is a localhost web page served by the daemon-side stdlib HTTP
+server and opened in whatever browser the session has.
+
+Security: binds 127.0.0.1 on an ephemeral port; every /api call must
+carry a per-run random token (embedded into the served page), so other
+local users / random web pages can't reconfigure the daemon.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import secrets
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+
+def _config_sections(cfg) -> dict:
+    """Config → {section: {key: value}} for form generation."""
+    return cfg.to_dict()
+
+
+class PrefsServer:
+    """Serves the preferences page (/) and wizard (/wizard) plus a small
+    JSON API over the Config/daemon rails."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+        self.host = host
+        self.port = port
+        self.token = secrets.token_urlsafe(16)
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    # -- helpers shared with the CLI wizard ----------------------------------
+
+    @staticmethod
+    def model_inventory() -> dict:
+        """Models known to the build + which are converted locally, and
+        whether a TPU is attached (drives the wizard's hardware-based
+        default like wizard.rs's VRAM-based pick)."""
+        import os
+
+        import jax
+
+        from openhush_tpu.models.whisper.config import CONFIGS
+        from openhush_tpu.runtime.engine import default_model_dir
+
+        on_tpu = any(d.platform == "tpu" for d in jax.devices())
+        models = []
+        for name in CONFIGS:
+            if name == "test":
+                continue
+            models.append({
+                "name": name,
+                "converted": os.path.exists(
+                    os.path.join(default_model_dir(), f"{name}.npz")),
+            })
+        default = "large-v3" if on_tpu else "base"
+        converted = [m["name"] for m in models if m["converted"]]
+        if converted:
+            default = converted[-1]
+        return {"models": models, "default": default, "tpu": on_tpu}
+
+    @staticmethod
+    def device_inventory() -> list[dict]:
+        """Input devices incl. channel counts (channel_selector.rs role)."""
+        try:
+            from openhush_tpu.audio.capture import SoundDeviceSource
+            devs = SoundDeviceSource.list_devices()
+        except Exception:  # noqa: BLE001
+            devs = []
+        return [{"index": i, "name": d.get("name", "?"),
+                 "channels": d.get("max_input_channels", 0),
+                 "sample_rate": d.get("default_samplerate", 0)}
+                for i, d in enumerate(devs)
+                if d.get("max_input_channels", 0) > 0]
+
+    @staticmethod
+    def mic_test(seconds: float = 1.5) -> dict:
+        """Capture briefly and report RMS levels (wizard mic-test step)."""
+        import time
+
+        import numpy as np
+        try:
+            from openhush_tpu.audio.capture import SoundDeviceSource
+            levels: list[float] = []
+            src = SoundDeviceSource()
+            src.start(lambda s: levels.append(
+                float(np.sqrt(np.mean(np.square(s))))))
+            time.sleep(seconds)
+            src.stop()
+            if not levels:
+                return {"ok": False, "error": "no frames captured"}
+            return {"ok": True, "peak_rms": max(levels),
+                    "mean_rms": sum(levels) / len(levels)}
+        except Exception as e:  # noqa: BLE001
+            return {"ok": False, "error": str(e)}
+
+    @staticmethod
+    def daemon_running() -> bool:
+        from openhush_tpu.runtime import ipc
+        try:
+            return bool(ipc.IpcClient().send("status").get("version"))
+        except (ConnectionError, OSError):
+            return False
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def url(self, page: str = "/") -> str:
+        return f"http://{self.host}:{self.port}{page}?token={self.token}"
+
+    def start(self) -> None:
+        ui = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet
+                pass
+
+            def _send(self, code: int, payload,
+                      content_type="application/json"):
+                body = (payload.encode() if isinstance(payload, str)
+                        else payload if isinstance(payload, bytes)
+                        else json.dumps(payload).encode())
+                self.send_response(code)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _tokened(self) -> bool:
+                q = parse_qs(urlparse(self.path).query)
+                if q.get("token", [""])[0] == ui.token:
+                    return True
+                self._send(403, {"ok": False, "error": "bad token"})
+                return False
+
+            def do_GET(self):
+                route = urlparse(self.path).path
+                if route == "/":
+                    if not self._tokened():
+                        return
+                    return self._send(200, _page("preferences", ui.token),
+                                      "text/html; charset=utf-8")
+                if route == "/wizard":
+                    if not self._tokened():
+                        return
+                    return self._send(200, _page("wizard", ui.token),
+                                      "text/html; charset=utf-8")
+                if not self._tokened():
+                    return
+                if route == "/api/config":
+                    from openhush_tpu.utils.config import Config
+                    cfg = Config.load_or_default()
+                    return self._send(200, {
+                        "config": _config_sections(cfg),
+                        "errors": cfg.validate()})
+                if route == "/api/models":
+                    return self._send(200, ui.model_inventory())
+                if route == "/api/devices":
+                    return self._send(200, {"devices":
+                                            ui.device_inventory()})
+                if route == "/api/daemon":
+                    return self._send(200, {"running": ui.daemon_running()})
+                self._send(404, {"ok": False, "error": "not found"})
+
+            def do_POST(self):
+                if not self._tokened():
+                    return
+                route = urlparse(self.path).path
+                n = int(self.headers.get("Content-Length") or 0)
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError:
+                    return self._send(400, {"ok": False,
+                                            "error": "bad json"})
+                if route == "/api/config":
+                    return self._save_config(body)
+                if route == "/api/mic-test":
+                    return self._send(200, ui.mic_test())
+                if route == "/api/hotkey":
+                    from openhush_tpu.runtime.hotkey import parse_key
+                    try:
+                        parse_key(body.get("key", ""))
+                        return self._send(200, {"ok": True})
+                    except ValueError as e:
+                        return self._send(200, {"ok": False,
+                                                "error": str(e)})
+                if route == "/api/daemon/start":
+                    return self._start_daemon()
+                self._send(404, {"ok": False, "error": "not found"})
+
+            def _save_config(self, body):
+                from openhush_tpu.utils.config import Config
+                cfg = Config.from_dict(body.get("config", {}))
+                errors = cfg.validate()
+                if errors and not body.get("force"):
+                    return self._send(200, {"ok": False, "errors": errors})
+                cfg.save()
+                # A running daemon hot-reloads on SIGHUP; nudge it.
+                try:
+                    from openhush_tpu.runtime import ipc
+                    ipc.IpcClient().send("reload")
+                except (ConnectionError, OSError):
+                    pass
+                self._send(200, {"ok": True, "errors": errors})
+
+            def _start_daemon(self):
+                import subprocess
+                import sys
+                if ui.daemon_running():
+                    return self._send(200, {"ok": True,
+                                            "message": "already running"})
+                try:
+                    subprocess.Popen(
+                        [sys.executable, "-m", "openhush_tpu.cli", "start"],
+                        stdout=subprocess.DEVNULL,
+                        stderr=subprocess.DEVNULL, start_new_session=True)
+                    return self._send(200, {"ok": True,
+                                            "message": "daemon starting"})
+                except OSError as e:
+                    return self._send(500, {"ok": False, "error": str(e)})
+
+        self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True, name="prefs-ui")
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+# -- page templates -----------------------------------------------------------
+
+_CSS = """
+:root { color-scheme: light dark; }
+body { font: 14px/1.5 system-ui, sans-serif; max-width: 780px;
+       margin: 2rem auto; padding: 0 1rem; }
+h1 { font-size: 1.3rem; } h2 { font-size: 1.05rem; margin: 1.4em 0 .4em;
+     border-bottom: 1px solid color-mix(in srgb, currentColor 25%, transparent);
+     padding-bottom: .2em; text-transform: capitalize; }
+label { display: flex; gap: .6em; align-items: center; margin: .25em 0; }
+label span.k { flex: 0 0 14em; opacity: .85; }
+input[type=text], input[type=number], select { flex: 1; padding: .25em .4em; }
+button { padding: .45em 1.1em; margin: .3em .4em .3em 0; cursor: pointer; }
+.bar { position: sticky; bottom: 0; backdrop-filter: blur(6px);
+       padding: .6em 0; }
+.err { color: #c62828; white-space: pre-line; }
+.ok  { color: #2e7d32; }
+.step { display: none; } .step.active { display: block; }
+.meter { height: 10px; background: #2e7d32; width: 0; transition: width .2s; }
+"""
+
+_PREFS_JS = """
+const T = document.body.dataset.token;
+const api = (p, opt) => fetch(p + '?token=' + T, opt).then(r => r.json());
+let CFG = {};
+function field(section, key, val) {
+  const id = section + '.' + key;
+  if (typeof val === 'boolean')
+    return `<label><span class=k>${key}</span>
+      <input type=checkbox id="${id}" ${val ? 'checked' : ''}></label>`;
+  if (typeof val === 'number')
+    return `<label><span class=k>${key}</span>
+      <input type=number step=any id="${id}" value="${val}"></label>`;
+  if (Array.isArray(val))
+    return `<label><span class=k>${key}</span>
+      <input type=text id="${id}" value="${val.join(', ')}"
+             data-list=1></label>`;
+  return `<label><span class=k>${key}</span>
+    <input type=text id="${id}" value="${String(val).replace(/"/g,
+    '&quot;')}"></label>`;
+}
+function render() {
+  const root = document.getElementById('form');
+  root.innerHTML = '';
+  for (const [section, body] of Object.entries(CFG)) {
+    if (typeof body !== 'object' || body === null || Array.isArray(body))
+      continue;
+    let html = `<h2>${section}</h2>`;
+    for (const [k, v] of Object.entries(body))
+      if (typeof v !== 'object' || Array.isArray(v)) html += field(section,
+        k, v);
+    root.insertAdjacentHTML('beforeend', html);
+  }
+}
+function collect() {
+  for (const [section, body] of Object.entries(CFG)) {
+    if (typeof body !== 'object' || body === null) continue;
+    for (const k of Object.keys(body)) {
+      const el = document.getElementById(section + '.' + k);
+      if (!el) continue;
+      const old = body[k];
+      if (typeof old === 'boolean') body[k] = el.checked;
+      else if (typeof old === 'number') body[k] = Number(el.value);
+      else if (el.dataset.list) body[k] = el.value.split(',')
+        .map(s => s.trim()).filter(Boolean);
+      else body[k] = el.value;
+    }
+  }
+  return CFG;
+}
+async function save() {
+  const out = document.getElementById('msg');
+  const r = await api('/api/config', {method: 'POST',
+    body: JSON.stringify({config: collect()})});
+  out.className = r.ok ? 'ok' : 'err';
+  out.textContent = r.ok ? 'Saved.' + (r.errors.length ?
+    ' Warnings: ' + r.errors.join('; ') : '')
+    : 'Not saved:\\n' + r.errors.join('\\n');
+}
+api('/api/config').then(d => { CFG = d.config; render();
+  const out = document.getElementById('msg');
+  if (d.errors.length) { out.className = 'err';
+    out.textContent = d.errors.join('\\n'); } });
+document.getElementById('save').onclick = save;
+"""
+
+_WIZARD_JS = """
+const T = document.body.dataset.token;
+const api = (p, opt) => fetch(p + '?token=' + T, opt).then(r => r.json());
+let step = 0, CFG = null;
+const steps = [...document.querySelectorAll('.step')];
+function show(i) { step = Math.max(0, Math.min(i, steps.length - 1));
+  steps.forEach((s, j) => s.classList.toggle('active', j === step)); }
+document.querySelectorAll('[data-next]').forEach(b =>
+  b.onclick = () => show(step + 1));
+document.querySelectorAll('[data-back]').forEach(b =>
+  b.onclick = () => show(step - 1));
+show(0);
+
+api('/api/config').then(d => { CFG = d.config; });
+api('/api/models').then(d => {
+  const sel = document.getElementById('model');
+  for (const m of d.models) {
+    const o = document.createElement('option');
+    o.value = m.name;
+    o.textContent = m.name + (m.converted ? ' (converted)' : '');
+    if (m.name === d.default) o.selected = true;
+    sel.append(o);
+  }
+  document.getElementById('hw').textContent =
+    d.tpu ? 'TPU detected — large-v3 recommended.'
+          : 'No TPU — a smaller model is recommended.';
+});
+api('/api/devices').then(d => {
+  const sel = document.getElementById('device');
+  sel.append(new Option('system default', ''));
+  for (const dev of d.devices)
+    sel.append(new Option(
+      `${dev.name} (${dev.channels} ch, ${dev.sample_rate} Hz)`,
+      dev.name));  // audio.device is selected by NAME (AudioConfig.device)
+});
+document.getElementById('hotkey-check').onclick = async () => {
+  const key = document.getElementById('hotkey').value;
+  const r = await api('/api/hotkey', {method: 'POST',
+    body: JSON.stringify({key})});
+  const el = document.getElementById('hotkey-msg');
+  el.className = r.ok ? 'ok' : 'err';
+  el.textContent = r.ok ? 'Hotkey OK' : r.error;
+};
+document.getElementById('mic-test').onclick = async () => {
+  const el = document.getElementById('mic-msg');
+  el.textContent = 'Listening…';
+  const r = await api('/api/mic-test', {method: 'POST', body: '{}'});
+  el.className = r.ok ? 'ok' : 'err';
+  el.textContent = r.ok ?
+    `Mic OK (peak RMS ${r.peak_rms.toFixed(4)})` : r.error;
+  if (r.ok) document.getElementById('meter').style.width =
+    Math.min(100, r.peak_rms * 800) + '%';
+};
+document.getElementById('finish').onclick = async () => {
+  CFG.transcription.model = document.getElementById('model').value;
+  CFG.transcription.preset = 'custom';
+  const key = document.getElementById('hotkey').value;
+  if (key) CFG.hotkey.key = key;
+  const dev = document.getElementById('device').value;
+  if (dev !== '') CFG.audio.device = dev;
+  const saved = await api('/api/config', {method: 'POST',
+    body: JSON.stringify({config: CFG, force: true})});
+  let msg = saved.ok ? 'Configuration saved. ' : 'Save failed. ';
+  if (document.getElementById('autostart').checked) {
+    const r = await api('/api/daemon/start', {method: 'POST', body: '{}'});
+    msg += r.ok ? r.message : r.error;
+  }
+  const el = document.getElementById('done-msg');
+  el.className = saved.ok ? 'ok' : 'err';
+  el.textContent = msg;
+};
+"""
+
+_PREFS_BODY = """
+<h1>OpenHush Preferences</h1>
+<div id=form></div>
+<div class=bar>
+  <button id=save>Save</button>
+  <span id=msg></span>
+</div>
+"""
+
+_WIZARD_BODY = """
+<h1>Welcome to OpenHush</h1>
+<div class="step">
+  <h2>1 · Model</h2>
+  <p id=hw></p>
+  <label><span class=k>Whisper model</span><select id=model></select></label>
+  <button data-next>Next</button>
+</div>
+<div class="step">
+  <h2>2 · Hotkey</h2>
+  <label><span class=k>Push-to-talk key</span>
+    <input type=text id=hotkey placeholder="e.g. ctrl+alt+space"></label>
+  <button id=hotkey-check>Check</button> <span id=hotkey-msg></span><br>
+  <button data-back>Back</button><button data-next>Next</button>
+</div>
+<div class="step">
+  <h2>3 · Microphone</h2>
+  <label><span class=k>Input device</span><select id=device></select></label>
+  <button id=mic-test>Test microphone</button> <span id=mic-msg></span>
+  <div class=meter id=meter></div>
+  <button data-back>Back</button><button data-next>Next</button>
+</div>
+<div class="step">
+  <h2>4 · Finish</h2>
+  <label><input type=checkbox id=autostart checked>
+    Start the daemon now</label>
+  <button data-back>Back</button>
+  <button id=finish>Finish setup</button>
+  <p id=done-msg></p>
+</div>
+"""
+
+
+def _page(which: str, token: str) -> str:
+    body, js = ((_PREFS_BODY, _PREFS_JS) if which == "preferences"
+                else (_WIZARD_BODY, _WIZARD_JS))
+    return (f"<!doctype html><html><head><meta charset=utf-8>"
+            f"<title>OpenHush</title><style>{_CSS}</style></head>"
+            f"<body data-token=\"{token}\">{body}"
+            f"<script>{js}</script></body></html>")

@@ -35,8 +35,48 @@ METHOD_CALL, METHOD_RETURN, ERROR, SIGNAL = 1, 2, 3, 4
 H_PATH, H_INTERFACE, H_MEMBER, H_ERROR_NAME, H_REPLY_SERIAL, \
     H_DESTINATION, H_SENDER, H_SIGNATURE = range(1, 9)
 
-_ALIGN = {"y": 1, "b": 4, "u": 4, "i": 4, "s": 4, "o": 4, "g": 1,
-          "v": 1, "a": 4, "(": 8}
+_ALIGN = {"y": 1, "b": 4, "n": 2, "q": 2, "i": 4, "u": 4, "x": 8, "t": 8,
+          "d": 8, "s": 4, "o": 4, "g": 1, "v": 1, "a": 4, "(": 8, "{": 8,
+          "h": 4}
+
+_FIXED = {"n": ("<h", 2), "q": ("<H", 2), "x": ("<q", 8), "t": ("<Q", 8),
+          "d": ("<d", 8), "h": ("<I", 4)}
+
+
+def _complete_type_end(sig: str, i: int) -> int:
+    """Index one past the complete type starting at sig[i]."""
+    t = sig[i]
+    if t == "a":
+        return _complete_type_end(sig, i + 1)
+    if t == "(":
+        depth, j = 1, i + 1
+        while depth:
+            if sig[j] == "(":
+                depth += 1
+            elif sig[j] == ")":
+                depth -= 1
+            j += 1
+        return j
+    if t == "{":
+        depth, j = 1, i + 1
+        while depth:
+            if sig[j] == "{":
+                depth += 1
+            elif sig[j] == "}":
+                depth -= 1
+            j += 1
+        return j
+    return i + 1
+
+
+def split_signature(sig: str) -> list[str]:
+    """Split a signature into its complete types."""
+    out, i = [], 0
+    while i < len(sig):
+        j = _complete_type_end(sig, i)
+        out.append(sig[i:j])
+        i = j
+    return out
 
 
 class Marshaller:
@@ -58,6 +98,10 @@ class Marshaller:
         elif t == "i":
             self.pad(4)
             self.buf += struct.pack("<i", value)
+        elif t in _FIXED:
+            fmt, n = _FIXED[t]
+            self.pad(n)
+            self.buf += struct.pack(fmt, value)
         elif t in ("s", "o"):
             self.pad(4)
             data = value.encode()
@@ -69,6 +113,34 @@ class Marshaller:
             vsig, vval = value
             self.put("g", vsig)
             self.put(vsig, vval)
+        elif t == "a":
+            # ARRAY: u32 byte-length (excl. post-length padding), then
+            # padding to the element alignment, then elements.
+            elem_sig = sig[1:]
+            self.pad(4)
+            len_pos = len(self.buf)
+            self.buf += b"\0\0\0\0"
+            self.pad(_ALIGN[elem_sig[0]])
+            start = len(self.buf)
+            if elem_sig[0] == "{":
+                items = value.items() if isinstance(value, dict) else value
+                for k, v in items:
+                    self.put(elem_sig, (k, v))
+            else:
+                for item in value:
+                    self.put(elem_sig, item)
+            struct.pack_into("<I", self.buf, len_pos,
+                             len(self.buf) - start)
+        elif t == "(":
+            self.pad(8)
+            for member_sig, member in zip(split_signature(sig[1:-1]),
+                                          value):
+                self.put(member_sig, member)
+        elif t == "{":
+            self.pad(8)
+            k_sig, v_sig = split_signature(sig[1:-1])
+            self.put(k_sig, value[0])
+            self.put(v_sig, value[1])
         else:
             raise ValueError(f"unsupported marshal type {t!r}")
 
@@ -126,11 +198,36 @@ class Unmarshaller:
         if t == "v":
             vsig = self.get("g")
             return self.get(vsig)
-        if t == "d":
-            self.pad(8)
-            v = struct.unpack_from("<d", self.data, self.pos)[0]
-            self.pos += 8
+        if t in _FIXED:
+            fmt, n = _FIXED[t]
+            self.pad(n)
+            v = struct.unpack_from(fmt, self.data, self.pos)[0]
+            self.pos += n
             return v
+        if t == "a":
+            elem_sig = sig[1:]
+            self.pad(4)
+            n = struct.unpack_from("<I", self.data, self.pos)[0]
+            self.pos += 4
+            self.pad(_ALIGN[elem_sig[0]])
+            end = self.pos + n
+            if elem_sig[0] == "{":
+                out: dict = {}
+                while self.pos < end:
+                    k, v = self.get(elem_sig)
+                    out[k] = v
+                return out
+            items = []
+            while self.pos < end:
+                items.append(self.get(elem_sig))
+            return items
+        if t == "(":
+            self.pad(8)
+            return tuple(self.get(m) for m in split_signature(sig[1:-1]))
+        if t == "{":
+            self.pad(8)
+            k_sig, v_sig = split_signature(sig[1:-1])
+            return (self.get(k_sig), self.get(v_sig))
         raise ValueError(f"unsupported unmarshal type {t!r}")
 
 
@@ -138,8 +235,8 @@ def build_message(msg_type: int, serial: int,
                   fields: list[tuple[int, str, object]],
                   body_sig: str = "", body_args: tuple = ()) -> bytes:
     body = Marshaller()
-    for sig_char, arg in zip(body_sig, body_args):
-        body.put(sig_char, arg)
+    for arg_sig, arg in zip(split_signature(body_sig), body_args):
+        body.put(arg_sig, arg)
     body_bytes = bytes(body.buf)
     if body_sig:
         fields = fields + [(H_SIGNATURE, "g", body_sig)]
@@ -171,9 +268,9 @@ def parse_message(data: bytes) -> dict:
     body_sig = fields.get(H_SIGNATURE, "")
     args = []
     bu = Unmarshaller(data, body_start)
-    for c in body_sig:
+    for arg_sig in split_signature(body_sig):
         try:
-            args.append(bu.get(c))
+            args.append(bu.get(arg_sig))
         except Exception:  # noqa: BLE001 — tolerate exotic arg types
             break
     return {"type": msg_type, "serial": serial, "fields": fields,

@@ -1,0 +1,100 @@
+"""Web preferences/wizard UI tests (reference scope: src/gui/mod.rs
+preferences window, src/gui/wizard.rs first-run wizard,
+src/gui/channel_selector.rs). Drives the HTTP surface a browser would."""
+
+import json
+import urllib.request
+
+import pytest
+
+from openhush_tpu.ui.web import PrefsServer
+
+
+@pytest.fixture
+def ui(tmp_path, monkeypatch):
+    monkeypatch.setenv("OPENHUSH_CONFIG", str(tmp_path / "config.toml"))
+    server = PrefsServer()
+    server.start()
+    yield server
+    server.stop()
+
+
+def _get(ui, path, token=None, parse=True):
+    tok = ui.token if token is None else token
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{ui.port}{path}?token={tok}")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        body = r.read()
+        return json.loads(body) if parse else body.decode()
+
+
+def _post(ui, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{ui.port}{path}?token={ui.token}",
+        data=json.dumps(payload).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def test_pages_served(ui):
+    html = _get(ui, "/", parse=False)
+    assert "OpenHush Preferences" in html
+    wizard = _get(ui, "/wizard", parse=False)
+    assert "Welcome to OpenHush" in wizard
+    for step in ("Model", "Hotkey", "Microphone", "Finish"):
+        assert step in wizard     # the reference wizard's 4 steps
+
+
+def test_token_required(ui):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(ui, "/", token="wrong")
+    assert e.value.code == 403
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _get(ui, "/api/config", token="")
+    assert e.value.code == 403
+
+
+def test_config_roundtrip(ui):
+    data = _get(ui, "/api/config")
+    cfg = data["config"]
+    assert "transcription" in cfg and "hotkey" in cfg and "audio" in cfg
+    cfg["transcription"]["model"] = "small"
+    cfg["hotkey"]["key"] = "f9"
+    r = _post(ui, "/api/config", {"config": cfg})
+    assert r["ok"], r
+    again = _get(ui, "/api/config")["config"]
+    assert again["transcription"]["model"] == "small"
+    assert again["hotkey"]["key"] == "f9"
+
+
+def test_config_validation_rejects(ui):
+    cfg = _get(ui, "/api/config")["config"]
+    cfg["transcription"]["model"] = "definitely-not-a-model"
+    r = _post(ui, "/api/config", {"config": cfg})
+    assert not r["ok"]
+    assert r["errors"]
+    # Unchanged on disk.
+    assert _get(ui, "/api/config")["config"]["transcription"]["model"] \
+        != "definitely-not-a-model"
+
+
+def test_model_inventory(ui):
+    d = _get(ui, "/api/models")
+    names = [m["name"] for m in d["models"]]
+    for expected in ("tiny", "base", "small", "medium", "large-v3"):
+        assert expected in names
+    assert d["default"] in names
+    assert isinstance(d["tpu"], bool)
+
+
+def test_devices_and_daemon_status(ui):
+    d = _get(ui, "/api/devices")
+    assert isinstance(d["devices"], list)   # empty on headless CI
+    s = _get(ui, "/api/daemon")
+    assert s["running"] is False
+
+
+def test_hotkey_validation(ui):
+    assert _post(ui, "/api/hotkey", {"key": "f12"})["ok"]
+    r = _post(ui, "/api/hotkey", {"key": "not a key!!"})
+    assert not r["ok"] and r["error"]
