@@ -8,12 +8,16 @@ EmbeddingExtractor::compute + EmbeddingManager::search_speaker,
 mod.rs:266-299).
 
 TPU-native layout:
-- Segmentation: the device-side VAD (models/vad.py) provides speech
-  regions — the reference's segmentation model fills the same role.
+- SegmentationModel: per-frame local-speaker activities (the
+  segmentation-3.0 role): log-mel → strided convs → GRU scan → K sigmoid
+  activity channels. Trainable (training/speaker.py trains it on
+  synthetic mixtures); when no checkpoint is installed the device-side
+  VAD (models/vad.py) fills the same role (speech/non-speech only — it
+  cannot separate overlapping speakers; documented degradation).
 - SpeakerEmbedder: log-mel → TDNN-ish conv stack → statistics pooling
   (mean||std) → d-vector, as one jittable function; weights load from npz
-  (converted from a trained x-vector/CAM++ checkpoint) or random for
-  structure tests.
+  (converted from a trained x-vector/CAM++ checkpoint, or trained with
+  training/speaker.py) or random for structure tests.
 - EmbeddingClusterer: incremental cosine clustering (threshold + max
   speakers) — pure numpy, exact reference behavior and fully testable with
   synthetic embeddings.
@@ -35,17 +39,38 @@ EMB_DIM = 192
 N_MELS = 80
 
 
-def init_embedder_params(key, dtype=jnp.float32) -> dict:
+def init_embedder_params(key, dtype=jnp.float32, width: int = 128) -> dict:
     ks = jax.random.split(key, 4)
     s = lambda fan: fan ** -0.5
     return {
-        "conv1_w": jax.random.normal(ks[0], (5, N_MELS, 128)) * s(5 * 80),
-        "conv1_b": jnp.zeros((128,)),
-        "conv2_w": jax.random.normal(ks[1], (3, 128, 128)) * s(3 * 128),
-        "conv2_b": jnp.zeros((128,)),
-        "dense_w": jax.random.normal(ks[2], (256, EMB_DIM)) * s(256),
+        "conv1_w": jax.random.normal(ks[0], (5, N_MELS, width)) * s(5 * 80),
+        "conv1_b": jnp.zeros((width,)),
+        "conv2_w": jax.random.normal(ks[1],
+                                     (3, width, width)) * s(3 * width),
+        "conv2_b": jnp.zeros((width,)),
+        "dense_w": jax.random.normal(ks[2], (2 * width, EMB_DIM)
+                                     ) * s(2 * width),
         "dense_b": jnp.zeros((EMB_DIM,)),
     }
+
+
+def embed_batch(params: dict, mel: jax.Array) -> jax.Array:
+    """Core embedder on batched mel: [B, T, n_mels] → L2-normed
+    [B, EMB_DIM]. Differentiable — training/speaker.py optimizes through
+    this exact function, so trained checkpoints match inference."""
+    dn = ("NHC", "HIO", "NHC")
+    x = jax.nn.relu(jax.lax.conv_general_dilated(
+        mel, params["conv1_w"], (2,), [(2, 2)], dimension_numbers=dn)
+        + params["conv1_b"])
+    x = jax.nn.relu(jax.lax.conv_general_dilated(
+        x, params["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn)
+        + params["conv2_b"])
+    # Statistics pooling: mean || std over time.
+    mean = jnp.mean(x, axis=1)
+    std = jnp.sqrt(jnp.maximum(jnp.var(x, axis=1), 1e-6))
+    stats = jnp.concatenate([mean, std], axis=-1)          # [B, 2*width]
+    emb = stats @ params["dense_w"] + params["dense_b"]
+    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("n_frames",))
@@ -54,20 +79,72 @@ def speaker_embedding(params: dict, audio: jax.Array,
     """audio [n_frames*160] (≥1 s recommended) → L2-normalized [EMB_DIM]."""
     mel = mel_ops.log_mel_spectrogram(audio, n_mels=N_MELS,
                                       n_frames=n_frames).T  # [T, 80]
-    x = mel[None]
+    return embed_batch(params, mel[None])[0]
+
+
+# ---------------------------------------------------------------------------
+# Segmentation model (role of pyannote segmentation-3.0,
+# src/diarization/mod.rs:266 get_segments): per-frame activity of up to
+# SEG_K locally-active speakers, so overlapping speech separates — the
+# capability the VAD substitute lacks.
+# ---------------------------------------------------------------------------
+
+SEG_K = 3          # local speaker channels per window (pyannote uses 3)
+SEG_HIDDEN = 64
+
+
+def init_segmentation_params(key, n_mels: int = N_MELS,
+                             hidden: int = SEG_HIDDEN,
+                             k: int = SEG_K) -> dict:
+    ks = jax.random.split(key, 6)
+    s = lambda fan: fan ** -0.5
+    return {
+        "conv1_w": jax.random.normal(ks[0],
+                                     (5, n_mels, hidden)) * s(5 * n_mels),
+        "conv1_b": jnp.zeros((hidden,)),
+        "conv2_w": jax.random.normal(ks[1],
+                                     (3, hidden, hidden)) * s(3 * hidden),
+        "conv2_b": jnp.zeros((hidden,)),
+        # fused GRU gates [update, reset, candidate]
+        "gru_wx": jax.random.normal(ks[2],
+                                    (hidden, 3 * hidden)) * s(hidden),
+        "gru_wh": jax.random.normal(ks[3],
+                                    (hidden, 3 * hidden)) * s(hidden),
+        "gru_b": jnp.zeros((3 * hidden,)),
+        "out_w": jax.random.normal(ks[4], (hidden, k)) * s(hidden),
+        "out_b": jnp.zeros((k,)),
+    }
+
+
+def segmentation_activities(params: dict, mel: jax.Array) -> jax.Array:
+    """mel [B, T, n_mels] → activities [B, T//4, SEG_K] in (0, 1).
+
+    Strided convs (10 ms mel hop → 40 ms activity frames) + GRU scan over
+    time (XLA-friendly: lax.scan, static shapes) + per-frame sigmoid
+    heads. Channel order is order-of-appearance within the window (the
+    training recipe sorts labels that way)."""
+    h = params["gru_wx"].shape[0]
     dn = ("NHC", "HIO", "NHC")
     x = jax.nn.relu(jax.lax.conv_general_dilated(
-        x, params["conv1_w"], (2,), [(2, 2)], dimension_numbers=dn)
+        mel, params["conv1_w"], (2,), [(2, 2)], dimension_numbers=dn)
         + params["conv1_b"])
     x = jax.nn.relu(jax.lax.conv_general_dilated(
         x, params["conv2_w"], (2,), [(1, 1)], dimension_numbers=dn)
-        + params["conv2_b"])
-    # Statistics pooling: mean || std over time.
-    mean = jnp.mean(x, axis=1)
-    std = jnp.sqrt(jnp.maximum(jnp.var(x, axis=1), 1e-6))
-    stats = jnp.concatenate([mean, std], axis=-1)          # [1, 256]
-    emb = stats @ params["dense_w"] + params["dense_b"]
-    return (emb / jnp.linalg.norm(emb, axis=-1, keepdims=True))[0]
+        + params["conv2_b"])                      # [B, T/4, hidden]
+
+    def step(carry, xt):                          # xt [B, hidden]
+        xg = xt @ params["gru_wx"] + params["gru_b"]
+        hg = carry @ params["gru_wh"]
+        z = jax.nn.sigmoid(xg[:, :h] + hg[:, :h])
+        r = jax.nn.sigmoid(xg[:, h:2 * h] + hg[:, h:2 * h])
+        n = jnp.tanh(xg[:, 2 * h:] + r * hg[:, 2 * h:])
+        new = (1 - z) * n + z * carry
+        return new, new
+
+    h0 = jnp.zeros((mel.shape[0], h), mel.dtype)
+    _, hs = jax.lax.scan(step, h0, x.transpose(1, 0, 2))
+    hs = hs.transpose(1, 0, 2)                    # [B, T/4, hidden]
+    return jax.nn.sigmoid(hs @ params["out_w"] + params["out_b"])
 
 
 def kaldi_fbank(audio: np.ndarray, n_mels: int = N_MELS) -> np.ndarray:
@@ -145,13 +222,45 @@ class DiarizationEngine:
 
     def __init__(self, config: Optional[DiarizationConfig] = None,
                  params: Optional[dict] = None,
-                 vad_engine=None, embedder_fn=None):
+                 vad_engine=None, embedder_fn=None,
+                 seg_params: Optional[dict] = None):
         from openhush_tpu.models.vad import VadEngine
         self.config = config or DiarizationConfig()
         self.params = params or init_embedder_params(jax.random.PRNGKey(0))
         self.clusterer = EmbeddingClusterer(self.config)
         self.vad = vad_engine or VadEngine(kind="energy")
         self._embedder_fn = embedder_fn      # audio [T] → embedding [D]
+        # Trained segmentation net (training/speaker.py) — when absent the
+        # fixed-window VAD-substitute path runs (cannot split overlap).
+        self.seg_params = seg_params
+
+    @classmethod
+    def from_local(cls, config: Optional[DiarizationConfig] = None
+                   ) -> "DiarizationEngine":
+        """Best available local checkpoints, in preference order:
+        wespeaker ONNX embedder > trained npz embedder > random-init;
+        plus the trained segmentation net when present. Files live in
+        <model_dir>/aux/ (written by `model convert-aux` or
+        `python -m openhush_tpu.training.speaker`)."""
+        import os
+
+        from openhush_tpu.models.whisper.convert import load_npz
+        from openhush_tpu.runtime.engine import default_model_dir
+
+        aux = os.path.join(default_model_dir(), "aux")
+        seg_path = os.path.join(aux, "segmentation.npz")
+        seg = {k: jnp.asarray(v) for k, v in load_npz(seg_path).items()} \
+            if os.path.exists(seg_path) else None
+        onnx_path = os.path.join(aux, "wespeaker.onnx")
+        if os.path.exists(onnx_path):
+            eng = cls.from_onnx(onnx_path, config)
+            eng.seg_params = seg
+            return eng
+        emb_path = os.path.join(aux, "speaker_embedder.npz")
+        params = ({k: jnp.asarray(v)
+                   for k, v in load_npz(emb_path).items()}
+                  if os.path.exists(emb_path) else None)
+        return cls(config, params=params, seg_params=seg)
 
     @classmethod
     def from_onnx(cls, embedder_path: str,
@@ -183,11 +292,56 @@ class DiarizationEngine:
         return np.asarray(speaker_embedding(self.params, jnp.asarray(a),
                                             n_frames=n_frames))
 
+    def segment_regions(self, audio: np.ndarray,
+                        threshold: float = 0.5,
+                        min_frames: int = 3) -> list[tuple[int, int, int]]:
+        """Run the segmentation net: (start_sample, end_sample, channel)
+        contiguous active regions per local-speaker channel. 40 ms
+        activity frames (4x mel hop)."""
+        assert self.seg_params is not None
+        hop = mel_ops.HOP_LENGTH
+        n_frames = max(8, len(audio) // hop)
+        need = n_frames * hop
+        a = np.zeros(need, np.float32)
+        a[:min(len(audio), need)] = audio[:need]
+        mel = np.asarray(jax.jit(
+            mel_ops.log_mel_spectrogram,
+            static_argnames=("n_mels", "n_frames"))(
+                jnp.asarray(a), n_mels=N_MELS, n_frames=n_frames)).T
+        acts = np.asarray(segmentation_activities(
+            self.seg_params, jnp.asarray(mel)[None])[0])   # [T/4, K]
+        regions = []
+        frame = 4 * hop                                    # samples/frame
+        for ch in range(acts.shape[1]):
+            active = acts[:, ch] >= threshold
+            start = None
+            for t, on in enumerate(list(active) + [False]):
+                if on and start is None:
+                    start = t
+                elif not on and start is not None:
+                    if t - start >= min_frames:
+                        regions.append((start * frame,
+                                        min(t * frame, len(audio)), ch))
+                    start = None
+        regions.sort()
+        return regions
+
     def diarize_chunk(self, audio: np.ndarray,
                       offset_secs: float = 0.0,
                       window_secs: float = 1.5) -> list[SpeakerSegment]:
-        """Assign speakers over fixed windows of one audio chunk."""
+        """Assign speakers: trained-segmentation regions when available
+        (separates overlap), fixed windows otherwise."""
         sr = 16000
+        if self.seg_params is not None:
+            segments = []
+            for s0, s1, _ch in self.segment_regions(audio):
+                piece = audio[s0:s1]
+                if len(piece) < sr // 4:
+                    continue
+                sid = self.clusterer.assign(self.embed(piece))
+                segments.append(SpeakerSegment(
+                    offset_secs + s0 / sr, offset_secs + s1 / sr, sid))
+            return segments
         win = int(window_secs * sr)
         segments: list[SpeakerSegment] = []
         for start in range(0, max(1, len(audio) - win // 2), win):

@@ -58,7 +58,7 @@ class RecordingSession:
         self.diarizer = diarizer
         if config.enable_diarization and diarizer is None:
             from openhush_tpu.models.diarization import DiarizationEngine
-            self.diarizer = DiarizationEngine()
+            self.diarizer = DiarizationEngine.from_local()
 
     # -- loop -------------------------------------------------------------------
 
