@@ -478,5 +478,31 @@ class DbusClient:
                                        member)
         return args[0] if args else None
 
+    def subscribe_recording_changed(self) -> None:
+        """Install a match rule for IsRecordingChanged (the signal emitted
+        at src/dbus/service.rs:47); follow with wait_recording_changed().
+        Lets status-bar scripts block on state flips instead of polling."""
+        self.conn.call_blocking(
+            "org.freedesktop.DBus", "/org/freedesktop/DBus",
+            "org.freedesktop.DBus", "AddMatch", "s",
+            (f"type='signal',interface='{INTERFACE}',"
+             f"member='IsRecordingChanged'",))
+
+    def wait_recording_changed(self,
+                               timeout: float = 60.0) -> Optional[bool]:
+        """Block until the next IsRecordingChanged; None on timeout."""
+        self.conn.sock.settimeout(timeout)
+        try:
+            while True:
+                msg = _read_message(self.conn.sock)
+                if msg is None:
+                    return None
+                if (msg["type"] == SIGNAL
+                        and msg["fields"].get(H_MEMBER)
+                        == "IsRecordingChanged" and msg["args"]):
+                    return bool(msg["args"][0])
+        except socket.timeout:
+            return None
+
     def close(self) -> None:
         self.conn.close()

@@ -138,3 +138,25 @@ def test_signal_emission(service, session_bus):
         mon.terminate()
         out, _ = mon.communicate(timeout=5)
         assert "IsRecordingChanged" in out
+
+
+@needs_dbus
+def test_signal_subscription_client(service, session_bus):
+    """Client-side match-rule subscription: wait_recording_changed blocks
+    until the daemon flips state (signal at src/dbus/service.rs:47)."""
+    import threading
+
+    svc, _ = service
+    client = dbus.DbusClient(address=session_bus)
+    try:
+        client.subscribe_recording_changed()
+        got = []
+        t = threading.Thread(
+            target=lambda: got.append(client.wait_recording_changed(10)))
+        t.start()
+        time.sleep(0.3)
+        svc.emit_recording_changed(True)
+        t.join(timeout=10)
+        assert got == [True]
+    finally:
+        client.close()
