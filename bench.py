@@ -72,6 +72,9 @@ def main() -> None:
     cfg = get_config(MODEL)
     params = whisper.init_params(cfg, jax.random.PRNGKey(0),
                                  dtype=jnp.bfloat16)
+    if os.environ.get("OPENHUSH_BENCH_INT8_W") == "1":
+        # Same knob as the engine's OPENHUSH_INT8_WEIGHTS production path.
+        params = whisper.quantize_decoder_weights(params)
     rng = np.random.default_rng(0)
     audio = jnp.asarray(
         0.1 * rng.standard_normal((BATCH, mel_ops.N_SAMPLES)), jnp.float32)

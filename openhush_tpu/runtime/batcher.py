@@ -139,41 +139,53 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
           new_xkv: whisper.QuantKVCache, prompt: jax.Array,
           use_timestamps: jax.Array, *, prompt_len: int,
           temperature: Optional[jax.Array] = None,
-          rng: Optional[jax.Array] = None) -> SlotState:
+          rng: Optional[jax.Array] = None,
+          row: Optional[jax.Array] = None) -> SlotState:
     """Install a session into `slot` and prefill its prompt.
 
-    new_xkv: quantized cross-KV for ONE row ([L, 1, A, H*Dh] int8 +
-    [L, 1, A, H] scales, flat layout); prompt: [1, prompt_len]. temperature > 0 switches
-    the row to sampling with `rng` (the harvest-time fallback ladder)."""
+    new_xkv: quantized cross-KV ([L, k, A, H*Dh] int8 + [L, k, A, H]
+    scales, flat layout) — `row` picks which of the k prepared windows to
+    install (the prep path encodes joiners in batches; k=1, row=0 is the
+    single-window case). prompt: [1, prompt_len]. temperature > 0
+    switches the row to sampling with `rng` (the fallback ladder)."""
     donated, kept = _pack(state)
     if temperature is None:
         temperature = jnp.float32(0.0)
     if rng is None:
         rng = jnp.zeros((2,), jnp.uint32)
+    if row is None:
+        row = jnp.int32(0)
     return _admit_impl(cfg, params, donated, kept, slot, new_xkv, prompt,
                        use_timestamps, temperature,
                        jnp.asarray(rng, jnp.uint32).reshape(2),
-                       prompt_len=prompt_len)
+                       jnp.int32(row), prompt_len=prompt_len)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
-                   donate_argnums=(2,))
-def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
-                new_xkv: whisper.QuantKVCache, prompt: jax.Array,
-                use_timestamps: jax.Array, temperature: jax.Array,
-                rng: jax.Array, *, prompt_len: int) -> SlotState:
-    state = _unpack(donated, kept)
+def readmit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
+            prompt: jax.Array, use_timestamps: jax.Array, *,
+            prompt_len: int, temperature: jax.Array,
+            rng: jax.Array) -> SlotState:
+    """Re-prefill `slot` from the cross-KV it ALREADY holds — the
+    temperature-fallback retry path. No re-encode, no host-side xkv
+    reference kept alive."""
+    donated, kept = _pack(state)
+    return _readmit_impl(cfg, params, donated, kept, slot, prompt,
+                         use_timestamps, temperature,
+                         jnp.asarray(rng, jnp.uint32).reshape(2),
+                         prompt_len=prompt_len)
+
+
+def _prefill_row(cfg: WhisperConfig, params, state: SlotState,
+                 slot: jax.Array, row_xkv: whisper.QuantKVCache,
+                 prompt: jax.Array, use_timestamps: jax.Array,
+                 temperature: jax.Array, rng: jax.Array,
+                 prompt_len: int) -> SlotState:
+    """Traced tail shared by admit/readmit: zero the slot's self-cache,
+    prefill the prompt against row_xkv, reset every per-slot scalar.
+    Expects state.xkv_* to already hold the row's cross-KV."""
     sp = WhisperTokenizer(cfg.n_langs).special
-    L, B = state.cache_k.shape[:2]
     T = state.tokens.shape[1]
 
-    upd = lambda buf, val: jax.lax.dynamic_update_slice(
-        buf, val.astype(buf.dtype),
-        (0, slot) + (0,) * (buf.ndim - 2))
-    xkv_k = upd(state.xkv_k, new_xkv.k)
-    xkv_ks = upd(state.xkv_ks, new_xkv.k_scale)
-    xkv_v = upd(state.xkv_v, new_xkv.v)
-    xkv_vs = upd(state.xkv_vs, new_xkv.v_scale)
     zero_row = jnp.zeros_like(
         jax.lax.dynamic_slice_in_dim(state.cache_k, 0, 1, axis=1))
     cache_k = jax.lax.dynamic_update_slice(
@@ -185,7 +197,6 @@ def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
     row_cache = whisper.KVCache(
         jax.lax.dynamic_slice_in_dim(cache_k, slot, 1, axis=1),
         jax.lax.dynamic_slice_in_dim(cache_v, slot, 1, axis=1))
-    row_xkv = new_xkv
     logits, row_cache = whisper.decode(cfg, params, prompt, jnp.int32(0),
                                        row_cache, row_xkv)
     cache_k = jax.lax.dynamic_update_slice(cache_k, row_cache.k,
@@ -199,8 +210,7 @@ def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
     set1 = lambda a, v: jax.lax.dynamic_update_slice(
         a, jnp.asarray(v).reshape((1,) + a.shape[1:]), (slot,) + (0,) * (a.ndim - 1))
     return state._replace(
-        cache_k=cache_k, cache_v=cache_v, xkv_k=xkv_k, xkv_ks=xkv_ks,
-        xkv_v=xkv_v, xkv_vs=xkv_vs,
+        cache_k=cache_k, cache_v=cache_v,
         tokens=jax.lax.dynamic_update_slice(state.tokens, tokens_row,
                                             (slot, 0)),
         pos=set1(state.pos, jnp.int32(prompt_len)),
@@ -223,6 +233,43 @@ def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
         rep_count=set1(state.rep_count, jnp.int32(0)),
         degenerate=set1(state.degenerate, False),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
+                   donate_argnums=(2,))
+def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
+                new_xkv: whisper.QuantKVCache, prompt: jax.Array,
+                use_timestamps: jax.Array, temperature: jax.Array,
+                rng: jax.Array, row: jax.Array, *,
+                prompt_len: int) -> SlotState:
+    state = _unpack(donated, kept)
+    pick = lambda a: jax.lax.dynamic_slice_in_dim(a, row, 1, axis=1)
+    row_xkv = whisper.QuantKVCache(pick(new_xkv.k), pick(new_xkv.k_scale),
+                                   pick(new_xkv.v), pick(new_xkv.v_scale))
+    upd = lambda buf, val: jax.lax.dynamic_update_slice(
+        buf, val.astype(buf.dtype),
+        (0, slot) + (0,) * (buf.ndim - 2))
+    state = state._replace(
+        xkv_k=upd(state.xkv_k, row_xkv.k),
+        xkv_ks=upd(state.xkv_ks, row_xkv.k_scale),
+        xkv_v=upd(state.xkv_v, row_xkv.v),
+        xkv_vs=upd(state.xkv_vs, row_xkv.v_scale))
+    return _prefill_row(cfg, params, state, slot, row_xkv, prompt,
+                        use_timestamps, temperature, rng, prompt_len)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
+                   donate_argnums=(2,))
+def _readmit_impl(cfg: WhisperConfig, params, donated, kept,
+                  slot: jax.Array, prompt: jax.Array,
+                  use_timestamps: jax.Array, temperature: jax.Array,
+                  rng: jax.Array, *, prompt_len: int) -> SlotState:
+    state = _unpack(donated, kept)
+    pick = lambda a: jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1)
+    row_xkv = whisper.QuantKVCache(pick(state.xkv_k), pick(state.xkv_ks),
+                                   pick(state.xkv_v), pick(state.xkv_vs))
+    return _prefill_row(cfg, params, state, slot, row_xkv, prompt,
+                        use_timestamps, temperature, rng, prompt_len)
 
 
 def step(cfg: WhisperConfig, params, state: SlotState,

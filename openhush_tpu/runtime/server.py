@@ -75,10 +75,10 @@ class _SlotInfo:
     submitted_at: float
     admitted_at: float
     first_token_at: Optional[float] = None
-    # Fallback-ladder state: the encoded window (quantized cross-KV) and
-    # resolved language are kept so a retry at higher temperature re-prefills
-    # the same slot without re-encoding or re-detecting.
-    xkv: Optional[object] = None
+    # Fallback-ladder state: the resolved language/task stay here; the
+    # encoded cross-KV does NOT — a retry re-prefills from the copy the
+    # slot already holds on device (batcher.readmit), so no host-side
+    # xkv reference pins memory for the window's lifetime.
     language: str = "en"
     task: str = "transcribe"
     timestamps: bool = True
@@ -98,7 +98,8 @@ class EngineServer:
                  compression_ratio_threshold: float = 2.4,
                  logprob_threshold: float = -1.0,
                  no_speech_threshold: float = 0.6,
-                 rep_threshold: int = 12):
+                 rep_threshold: int = 12,
+                 max_admissions_per_turn: int = 1):
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
@@ -123,6 +124,7 @@ class EngineServer:
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
         self.rep_threshold = rep_threshold
+        self.max_admissions_per_turn = max(1, max_admissions_per_turn)
         self._suppress = jnp.asarray(decoding.build_suppress_mask(
             self.tokenizer, cfg, decoding.DecodingOptions()))
         blank = self.tokenizer.encode(" ")
@@ -132,13 +134,31 @@ class EngineServer:
         # Slots store int8 cross-KV (see batcher.init_state).
         self._xkv = jax.jit(
             lambda p, f: whisper.compute_cross_kv_quant(cfg, p, f))
+        # Joiners are encoded in BATCHES (one fused dispatch: mel → encode
+        # → int8 cross-KV → language logits) at a few bucket sizes — far
+        # fewer dispatches and much better MXU utilization than per-window
+        # B=1 encodes when several sessions join at once.
+        n_frames = self.audio_ctx * 2
+
+        def _prep(p, windows):
+            mel = jax.vmap(lambda a: frontend_pallas.log_mel(
+                a, n_mels=cfg.n_mels, n_frames=n_frames))(windows)
+            feats = whisper.encode(cfg, p, mel.astype(self._act_dtype))
+            xkv = whisper.compute_cross_kv_quant(cfg, p, feats)
+            lang_probs = decoding.detect_language_logits(cfg, p, xkv)
+            return xkv, lang_probs
+
+        self._prep_fn = jax.jit(_prep)
+        self._prep_buckets = tuple(
+            b for b in (1, 2, 4, 8) if b <= max(1, n_slots))
 
         self._pending: queue.Queue[_Pending] = queue.Queue()
         # Prepared windows (encoded + language-resolved) awaiting a slot.
         # A dedicated prep thread fills this so the step loop never stalls
         # on admission work (mel → encode → cross-KV → language detect,
         # which includes a host sync): the scheduler turn only installs.
-        self._ready: queue.Queue[tuple[_Pending, _SlotInfo]] = queue.Queue()
+        # Entries: (job, info, batched_xkv, row).
+        self._ready: queue.Queue[tuple] = queue.Queue()
         self._slots: dict[int, _SlotInfo] = {}
         self._results: dict[int, queue.Queue] = {}
         self._lock = threading.Lock()
@@ -230,18 +250,24 @@ class EngineServer:
     def _prep_loop(self) -> None:
         """Encode pending windows concurrently with the step loop. One
         thread keeps per-session FIFO order; the device interleaves the
-        encode with decode steps on its own queue."""
+        encode with decode steps on its own queue. Windows waiting
+        together are encoded in one batched dispatch."""
         while self._running:
+            jobs = []
             try:
-                job = self._pending.get(timeout=0.05)
+                jobs.append(self._pending.get(timeout=0.05))
             except queue.Empty:
                 continue
+            while len(jobs) < self._prep_buckets[-1]:
+                try:
+                    jobs.append(self._pending.get_nowait())
+                except queue.Empty:
+                    break
             try:
-                self._ready.put((job, self._prepare(job)))
+                self._prepare_many(jobs)
             except Exception:  # noqa: BLE001
-                log.exception("window preparation failed; dropping window "
-                              "%d of session %d", job.window_id,
-                              job.session_id)
+                log.exception("window preparation failed; dropping %d "
+                              "window(s)", len(jobs))
 
     def run_once(self) -> bool:
         """One scheduler turn: admit prepared windows → step → harvest.
@@ -252,11 +278,15 @@ class EngineServer:
         here instead of by the prep thread."""
         if self._prep_thread is None or not self._prep_thread.is_alive():
             while not self._pending.empty() and self._free_slots():
-                try:
-                    job = self._pending.get_nowait()
-                except queue.Empty:
+                jobs = []
+                while len(jobs) < self._prep_buckets[-1]:
+                    try:
+                        jobs.append(self._pending.get_nowait())
+                    except queue.Empty:
+                        break
+                if not jobs:
                     break
-                self._ready.put((job, self._prepare(job)))
+                self._prepare_many(jobs)
         worked = self._admit_pending()
         with self._lock:
             any_active = bool(self._slots)
@@ -277,51 +307,72 @@ class EngineServer:
             return [i for i in range(self.n_slots) if i not in self._slots]
 
     def _admit_pending(self) -> bool:
+        """Install prepared windows into free slots — at most
+        `max_admissions_per_turn` per scheduler turn while other sessions
+        are decoding, so the active decode clock never stalls more than
+        ~one admit dispatch between step dispatches (burst joins spread
+        across turns instead of bunching). With an idle batcher all free
+        slots fill at once."""
+        with self._lock:
+            any_active = bool(self._slots)
+        budget = self.max_admissions_per_turn if any_active else \
+            self.n_slots
         admitted = False
         for slot in self._free_slots():
+            if budget <= 0:
+                break
             try:
-                job, info = self._ready.get_nowait()
+                job, info, xkv, row = self._ready.get_nowait()
             except queue.Empty:
                 break
-            self._install(slot, info)
+            self._install(slot, info, xkv=xkv, row=row)
             admitted = True
+            budget -= 1
             log.debug("admitted session %d window %d into slot %d",
                       job.session_id, job.window_id, slot)
         return admitted
 
-    def _prepare(self, job: _Pending) -> _SlotInfo:
-        """All per-window work that doesn't need a slot: preprocess, mel,
-        encode, cross-KV, language detect. Runs off the scheduler thread."""
+    def _prepare_many(self, jobs: list[_Pending]) -> None:
+        """All per-window work that doesn't need a slot, for a BATCH of
+        windows in one fused dispatch: preprocess, mel, encode, int8
+        cross-KV, language logits. Prepared entries land on self._ready
+        as (job, info, batched_xkv, row) — the batched xkv is sliced
+        per-row inside the admit kernel."""
         tok = self.tokenizer
-        if self.preprocess is not None:
-            try:
-                job.audio = self.preprocess(job.audio)
-            except Exception as e:  # noqa: BLE001 — degrade, don't drop audio
-                log.warning("preprocess failed (%s); using raw audio", e)
         n_frames = self.audio_ctx * 2
         n_samples = n_frames * mel_ops.HOP_LENGTH
-        window = np.zeros(n_samples, np.float32)
-        n = min(len(job.audio), n_samples)
-        window[:n] = job.audio[:n]
-        mel = frontend_pallas.log_mel(jnp.asarray(window),
-                                      n_mels=self.cfg.n_mels,
-                                      n_frames=n_frames)[None]
-        feats = self._encode(self.params, mel.astype(self._act_dtype))
-        xkv = self._xkv(self.params, feats)
+        bucket = next(b for b in self._prep_buckets if b >= len(jobs))
+        windows = np.zeros((bucket, n_samples), np.float32)
+        for j, job in enumerate(jobs):
+            if self.preprocess is not None:
+                try:
+                    job.audio = self.preprocess(job.audio)
+                except Exception as e:  # noqa: BLE001 — degrade, keep audio
+                    log.warning("preprocess failed (%s); using raw audio",
+                                e)
+            n = min(len(job.audio), n_samples)
+            windows[j, :n] = job.audio[:n]
+        xkv, lang_probs = self._prep_fn(self.params, jnp.asarray(windows))
 
-        language = job.language
-        if language in ("auto", "", None):
-            langs, _ = decoding.detect_language(self.cfg, self.params, xkv,
-                                                tok)
-            language = langs[0]
-        return _SlotInfo(job.session_id, job.window_id, 0,
-                         job.submitted_at, time.monotonic(),
-                         xkv=xkv, language=language, task=job.task,
-                         timestamps=job.timestamps, temp_idx=0)
+        need_detect = any(j.language in ("auto", "", None) for j in jobs)
+        if need_detect:
+            idx = np.asarray(lang_probs).argmax(axis=-1)
+            detected = [tok.special.languages[i] for i in idx]
+        for j, job in enumerate(jobs):
+            language = job.language
+            if language in ("auto", "", None):
+                language = detected[j]
+            info = _SlotInfo(job.session_id, job.window_id, 0,
+                             job.submitted_at, time.monotonic(),
+                             language=language, task=job.task,
+                             timestamps=job.timestamps, temp_idx=0)
+            self._ready.put((job, info, xkv, j))
 
-    def _install(self, slot: int, info: _SlotInfo) -> None:
-        """(Re-)prefill `slot` from its cached cross-KV at the ladder
-        temperature info.temp_idx."""
+    def _install(self, slot: int, info: _SlotInfo, xkv=None,
+                 row: int = 0) -> None:
+        """Prefill `slot` at the ladder temperature info.temp_idx: from a
+        prepared batched cross-KV (first install, `xkv` row `row`) or
+        from the slot's own device copy (retry, batcher.readmit)."""
         tok = self.tokenizer
         prompt = tok.sot_sequence(info.language, info.task,
                                   timestamps=info.timestamps)
@@ -331,11 +382,20 @@ class EngineServer:
             jax.random.key_data(jax.random.PRNGKey(
                 (info.session_id * 1000003 + info.window_id * 101
                  + info.temp_idx) & 0x7FFFFFFF)), np.uint32)
-        self.state = batcher.admit(
-            self.cfg, self.params, self.state, jnp.int32(slot), info.xkv,
-            jnp.asarray([prompt], jnp.int32), jnp.asarray(info.timestamps),
-            prompt_len=len(prompt), temperature=jnp.float32(temp),
-            rng=jnp.asarray(rng))
+        if xkv is not None:
+            self.state = batcher.admit(
+                self.cfg, self.params, self.state, jnp.int32(slot), xkv,
+                jnp.asarray([prompt], jnp.int32),
+                jnp.asarray(info.timestamps),
+                prompt_len=len(prompt), temperature=jnp.float32(temp),
+                rng=jnp.asarray(rng), row=jnp.int32(row))
+        else:
+            self.state = batcher.readmit(
+                self.cfg, self.params, self.state, jnp.int32(slot),
+                jnp.asarray([prompt], jnp.int32),
+                jnp.asarray(info.timestamps),
+                prompt_len=len(prompt), temperature=jnp.float32(temp),
+                rng=jnp.asarray(rng))
         with self._lock:
             self._slots[slot] = info
 

@@ -169,3 +169,106 @@ def test_fuzz_sentence_buffer_never_loses_text():
             got.append(rest)
         assert "".join("".join(fed).split()) == \
             "".join("".join(got).split())
+
+
+def test_fuzz_dbus_marshal_roundtrip():
+    """Random values for random signatures must marshal → unmarshal
+    identically (the container marshaller carries SNI/dbusmenu payloads;
+    mirrors the reference's fuzz posture on its wire surfaces)."""
+    import random
+
+    from openhush_tpu.utils import dbus as wire
+
+    rng = random.Random(1234)
+    basic = "ybnqiuxtdsog"
+
+    def rand_sig(depth=0):
+        roll = rng.random()
+        if depth >= 3 or roll < 0.55:
+            return rng.choice(basic)
+        if roll < 0.7:
+            return "a" + rand_sig(depth + 1)
+        if roll < 0.8:
+            return "a{s" + rand_sig(depth + 1) + "}"
+        if roll < 0.9:
+            return "(" + "".join(rand_sig(depth + 1)
+                                 for _ in range(rng.randint(1, 3))) + ")"
+        return "v"
+
+    def rand_val(sig):
+        t = sig[0]
+        if t == "y":
+            return rng.randint(0, 255)
+        if t == "b":
+            return rng.random() < 0.5
+        if t == "n":
+            return rng.randint(-2 ** 15, 2 ** 15 - 1)
+        if t == "q":
+            return rng.randint(0, 2 ** 16 - 1)
+        if t in "iu":
+            return rng.randint(0, 2 ** 31 - 1) if t == "u" \
+                else rng.randint(-2 ** 31, 2 ** 31 - 1)
+        if t in "xt":
+            return rng.randint(0, 2 ** 62)
+        if t == "d":
+            return rng.uniform(-1e9, 1e9)
+        if t in "sog":
+            alpha = "abXY09_é" if t == "s" else "abXY09_"
+            s = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+            return "/" + s.replace("é", "") if t == "o" else s
+        if t == "v":
+            inner = rng.choice(basic)
+            return (inner, rand_val(inner))
+        if t == "a" and sig[1] == "{":
+            ksig, vsig = wire.split_signature(sig[2:-1])
+            return {rand_val(ksig): rand_val(vsig)
+                    for _ in range(rng.randint(0, 4))}
+        if t == "a":
+            elem = sig[1:]
+            return [rand_val(elem) for _ in range(rng.randint(0, 4))]
+        if t == "(":
+            return tuple(rand_val(m)
+                         for m in wire.split_signature(sig[1:-1]))
+        raise AssertionError(sig)
+
+    def norm_in(sig, v):
+        # Variants unwrap to their value on the way out; doubles
+        # roundtrip bit-exactly through struct '<d'.
+        t = sig[0]
+        if t == "v":
+            return norm_in(v[0], v[1])
+        if t == "a" and sig[1] == "{":
+            ksig, vsig = wire.split_signature(sig[2:-1])
+            return {k: norm_in(vsig, val) for k, val in v.items()}
+        if t == "a":
+            return [norm_in(sig[1:], x) for x in v]
+        if t == "(":
+            return tuple(norm_in(m, x) for m, x in
+                         zip(wire.split_signature(sig[1:-1]), v))
+        return v
+
+    def norm_out(sig, v):
+        # Output side: variants are ALREADY plain values.
+        t = sig[0]
+        if t == "v":
+            return v
+        if t == "a" and sig[1] == "{":
+            ksig, vsig = wire.split_signature(sig[2:-1])
+            return {k: norm_out(vsig, val) for k, val in v.items()}
+        if t == "a":
+            return [norm_out(sig[1:], x) for x in v]
+        if t == "(":
+            return tuple(norm_out(m, x) for m, x in
+                         zip(wire.split_signature(sig[1:-1]), v))
+        return v
+
+    for trial in range(300):
+        sigs = [rand_sig() for _ in range(rng.randint(1, 4))]
+        vals = [rand_val(s) for s in sigs]
+        m = wire.Marshaller()
+        for s, v in zip(sigs, vals):
+            m.put(s, v)
+        u = wire.Unmarshaller(bytes(m.buf))
+        for s, v in zip(sigs, vals):
+            got = u.get(s)
+            assert norm_out(s, got) == norm_in(s, v), (trial, s, v, got)
