@@ -386,3 +386,70 @@ def test_server_language_autodetect_with_quant_slots(setup):
             break
     res = server.poll(sid)
     assert res is not None
+
+
+def test_admission_cap_spreads_join_bursts(setup):
+    """While a session is decoding, at most max_admissions_per_turn
+    prepared windows install per scheduler turn (burst joins must not
+    bunch between two step dispatches); an idle batcher fills all free
+    slots at once."""
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=4, inner_steps=2,
+                          dtype=jnp.float32, tokenizer=tok,
+                          max_admissions_per_turn=1, **NO_GUARDS)
+    rng = np.random.default_rng(9)
+    audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+
+    # Idle server: a 3-window burst admits fully on the first turn.
+    sids = [server.open_session() for _ in range(3)]
+    for s in sids:
+        server.submit_window(s, audio, window_id=0)
+    server.run_once()
+    assert len(server._slots) == 3
+    # Busy server: one more joiner waits its turn (cap, not slot shortage)
+    # then installs on the next turn.
+    late = server.open_session()
+    server.submit_window(late, audio, window_id=0)
+    server.run_once()
+    assert len(server._slots) == 4
+    for s in sids + [late]:
+        while server.poll(s) is None:
+            if not server.run_once():
+                break
+        server.close_session(s)
+
+
+def test_batched_prep_token_exact(setup):
+    """Windows prepared together in one batched dispatch must decode to
+    the same tokens as the same window prepared alone."""
+    cfg, params, tok = setup
+    rng = np.random.default_rng(21)
+    audios = [(0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+              for _ in range(3)]
+
+    # Run batched (all three prepared in one bucket-4 dispatch).
+    server_b = EngineServer(cfg, params, n_slots=4, inner_steps=8,
+                            dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
+    sids_b = [server_b.open_session() for _ in audios]
+    for s, a in zip(sids_b, audios):
+        server_b.submit_window(s, a, window_id=0)
+    got_b = {}
+    while len(got_b) < len(sids_b):
+        server_b.run_once()
+        for s in sids_b:
+            if s not in got_b:
+                r = server_b.poll(s)
+                if r is not None:
+                    got_b[s] = r.tokens
+
+    # Run one-at-a-time (bucket-1 path).
+    server_1 = EngineServer(cfg, params, n_slots=4, inner_steps=8,
+                            dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
+    for i, a in enumerate(audios):
+        s = server_1.open_session()
+        server_1.submit_window(s, a, window_id=0)
+        r = None
+        while r is None:
+            server_1.run_once()
+            r = server_1.poll(s)
+        assert r.tokens == got_b[sids_b[i]], f"window {i} diverged"
