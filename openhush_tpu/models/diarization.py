@@ -116,6 +116,49 @@ def init_segmentation_params(key, n_mels: int = N_MELS,
     }
 
 
+def powerset_to_activities(probs: np.ndarray, k: int = SEG_K
+                           ) -> np.ndarray:
+    """pyannote segmentation-3.0 emits POWERSET classes over 3 local
+    speakers — [∅, {0}, {1}, {2}, {0,1}, {0,2}, {1,2}] — rather than
+    per-speaker sigmoids. Marginalize: activity of speaker s = Σ probs of
+    classes containing s. probs [T, 7] → activities [T, k]."""
+    classes = [(), (0,), (1,), (2,), (0, 1), (0, 2), (1, 2)]
+    acts = np.zeros((probs.shape[0], k), np.float32)
+    for c, members in enumerate(classes[:probs.shape[1]]):
+        for m in members:
+            if m < k:
+                acts[:, m] += probs[:, c]
+    return acts
+
+
+def segmentation_fn_from_onnx(path: str):
+    """Back segmentation with a converted pyannote segmentation-3.0
+    .onnx (reference: get_segments, src/diarization/mod.rs:266): graph
+    takes waveform [1, 1, N] and emits powerset scores [1, T, 7]
+    (log-softmax in the published export). Returns
+    fn(audio [N]) → activities [T, SEG_K]."""
+    from openhush_tpu.models.onnx2jax import OnnxJaxModel
+    model = OnnxJaxModel.load(path)
+
+    def fn(audio: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(audio, jnp.float32)[None, None, :]
+        out = model(x)
+        out = out[0] if isinstance(out, (tuple, list)) else out
+        scores = np.asarray(out)[0]                         # [T, C]
+        row_sum = scores.sum(axis=-1)
+        if scores.max() <= 1e-6 and np.allclose(
+                np.exp(scores).sum(axis=-1), 1.0, atol=0.05):
+            probs = np.exp(scores)                          # log-softmax
+        elif scores.min() >= 0 and np.allclose(row_sum, 1.0, atol=0.05):
+            probs = scores                                  # already probs
+        else:                                               # raw logits
+            e = np.exp(scores - scores.max(axis=-1, keepdims=True))
+            probs = e / e.sum(axis=-1, keepdims=True)
+        return powerset_to_activities(probs)
+
+    return fn
+
+
 def segmentation_activities(params: dict, mel: jax.Array) -> jax.Array:
     """mel [B, T, n_mels] → activities [B, T//4, SEG_K] in (0, 1).
 
@@ -223,16 +266,24 @@ class DiarizationEngine:
     def __init__(self, config: Optional[DiarizationConfig] = None,
                  params: Optional[dict] = None,
                  vad_engine=None, embedder_fn=None,
-                 seg_params: Optional[dict] = None):
+                 seg_params: Optional[dict] = None,
+                 seg_fn=None):
         from openhush_tpu.models.vad import VadEngine
         self.config = config or DiarizationConfig()
         self.params = params or init_embedder_params(jax.random.PRNGKey(0))
         self.clusterer = EmbeddingClusterer(self.config)
         self.vad = vad_engine or VadEngine(kind="energy")
         self._embedder_fn = embedder_fn      # audio [T] → embedding [D]
-        # Trained segmentation net (training/speaker.py) — when absent the
-        # fixed-window VAD-substitute path runs (cannot split overlap).
+        # Segmentation backends, either of: a converted pyannote ONNX
+        # (seg_fn, audio → activities) or the in-tree trained net
+        # (seg_params, training/speaker.py). When absent the fixed-window
+        # VAD-substitute path runs (cannot split overlap).
         self.seg_params = seg_params
+        self.seg_fn = seg_fn
+
+    @property
+    def has_segmentation(self) -> bool:
+        return self.seg_fn is not None or self.seg_params is not None
 
     @classmethod
     def from_local(cls, config: Optional[DiarizationConfig] = None
@@ -248,19 +299,22 @@ class DiarizationEngine:
         from openhush_tpu.runtime.engine import default_model_dir
 
         aux = os.path.join(default_model_dir(), "aux")
+        seg_onnx = os.path.join(aux, "segmentation.onnx")
+        seg_fn = segmentation_fn_from_onnx(seg_onnx) \
+            if os.path.exists(seg_onnx) else None
         seg_path = os.path.join(aux, "segmentation.npz")
         seg = {k: jnp.asarray(v) for k, v in load_npz(seg_path).items()} \
-            if os.path.exists(seg_path) else None
+            if seg_fn is None and os.path.exists(seg_path) else None
         onnx_path = os.path.join(aux, "wespeaker.onnx")
         if os.path.exists(onnx_path):
             eng = cls.from_onnx(onnx_path, config)
-            eng.seg_params = seg
+            eng.seg_params, eng.seg_fn = seg, seg_fn
             return eng
         emb_path = os.path.join(aux, "speaker_embedder.npz")
         params = ({k: jnp.asarray(v)
                    for k, v in load_npz(emb_path).items()}
                   if os.path.exists(emb_path) else None)
-        return cls(config, params=params, seg_params=seg)
+        return cls(config, params=params, seg_params=seg, seg_fn=seg_fn)
 
     @classmethod
     def from_onnx(cls, embedder_path: str,
@@ -292,12 +346,11 @@ class DiarizationEngine:
         return np.asarray(speaker_embedding(self.params, jnp.asarray(a),
                                             n_frames=n_frames))
 
-    def segment_regions(self, audio: np.ndarray,
-                        threshold: float = 0.5,
-                        min_frames: int = 3) -> list[tuple[int, int, int]]:
-        """Run the segmentation net: (start_sample, end_sample, channel)
-        contiguous active regions per local-speaker channel. 40 ms
-        activity frames (4x mel hop)."""
+    def activities(self, audio: np.ndarray) -> np.ndarray:
+        """Per-frame local-speaker activities [T', K] from whichever
+        segmentation backend is installed."""
+        if self.seg_fn is not None:
+            return np.asarray(self.seg_fn(np.asarray(audio, np.float32)))
         assert self.seg_params is not None
         hop = mel_ops.HOP_LENGTH
         n_frames = max(8, len(audio) // hop)
@@ -308,10 +361,19 @@ class DiarizationEngine:
             mel_ops.log_mel_spectrogram,
             static_argnames=("n_mels", "n_frames"))(
                 jnp.asarray(a), n_mels=N_MELS, n_frames=n_frames)).T
-        acts = np.asarray(segmentation_activities(
+        return np.asarray(segmentation_activities(
             self.seg_params, jnp.asarray(mel)[None])[0])   # [T/4, K]
+
+    def segment_regions(self, audio: np.ndarray,
+                        threshold: float = 0.5,
+                        min_frames: int = 3) -> list[tuple[int, int, int]]:
+        """Run segmentation: (start_sample, end_sample, channel)
+        contiguous active regions per local-speaker channel. Frame
+        duration is inferred from the backend's output rate (40 ms for
+        the in-tree net; ~17 ms for pyannote exports)."""
+        acts = self.activities(audio)
         regions = []
-        frame = 4 * hop                                    # samples/frame
+        frame = max(1, len(audio) // max(1, acts.shape[0]))  # samples/frame
         for ch in range(acts.shape[1]):
             active = acts[:, ch] >= threshold
             start = None
@@ -332,7 +394,7 @@ class DiarizationEngine:
         """Assign speakers: trained-segmentation regions when available
         (separates overlap), fixed windows otherwise."""
         sr = 16000
-        if self.seg_params is not None:
+        if self.has_segmentation:
             segments = []
             for s0, s1, _ch in self.segment_regions(audio):
                 piece = audio[s0:s1]

@@ -109,3 +109,65 @@ def test_training_is_deterministic():
     for k in p1:
         np.testing.assert_array_equal(np.asarray(p1[k]),
                                       np.asarray(p2[k]))
+
+
+def test_powerset_marginalization():
+    from openhush_tpu.models.diarization import powerset_to_activities
+    probs = np.zeros((4, 7), np.float32)
+    probs[0, 0] = 1.0            # silence
+    probs[1, 1] = 1.0            # {0}
+    probs[2, 4] = 1.0            # {0,1} overlap
+    probs[3, 6] = 1.0            # {1,2} overlap
+    acts = powerset_to_activities(probs)
+    np.testing.assert_allclose(acts[0], [0, 0, 0])
+    np.testing.assert_allclose(acts[1], [1, 0, 0])
+    np.testing.assert_allclose(acts[2], [1, 1, 0])
+    np.testing.assert_allclose(acts[3], [0, 1, 1])
+
+
+def test_pyannote_style_onnx_segmentation(tmp_path, monkeypatch):
+    """A synthetic powerset-output ONNX graph (the segmentation-3.0
+    contract: waveform [1,1,N] → log-softmax [1,T,7]) drives
+    segment_regions through from_local: loud frames → speaker-0 region."""
+    from openhush_tpu.models.diarization import DiarizationEngine
+    from openhush_tpu.utils import onnx_io
+    from openhush_tpu.utils.onnx_io import (OnnxGraph, OnnxModel, OnnxNode,
+                                            OnnxValueInfo)
+
+    n, hop = 6400, 160              # 0.4 s, 40 frames
+    frames = n // hop
+    w = np.zeros((1, 7), np.float32)
+    w[0, 0], w[0, 1] = -80.0, 80.0  # energy pushes ∅ down, {0} up
+    b = np.array([[1.0, 0.0, -9, -9, -9, -9, -9]], np.float32)
+    nodes = [
+        OnnxNode("Reshape", ["audio", "fshape"], ["fr"]),
+        OnnxNode("Abs", ["fr"], ["fa"]),
+        OnnxNode("ReduceMean", ["fa"], ["fe"],
+                 attrs={"axes": [1], "keepdims": 1}),
+        OnnxNode("MatMul", ["fe", "w"], ["fm"]),
+        OnnxNode("Add", ["fm", "b"], ["fl"]),
+        OnnxNode("LogSoftmax", ["fl"], ["fs"], attrs={"axis": -1}),
+        OnnxNode("Reshape", ["fs", "oshape"], ["scores"]),
+    ]
+    inits = {"fshape": np.array([frames, hop], np.int64),
+             "oshape": np.array([1, frames, 7], np.int64),
+             "w": w, "b": b}
+    graph = OnnxGraph(nodes=nodes, initializers=inits,
+                      inputs=[OnnxValueInfo("audio", 1, (1, 1, n))],
+                      outputs=[OnnxValueInfo("scores", 1,
+                                             (1, frames, 7))])
+    aux = tmp_path / "models" / "aux"
+    aux.mkdir(parents=True)
+    onnx_io.save(OnnxModel(graph), str(aux / "segmentation.onnx"))
+    monkeypatch.setenv("OPENHUSH_MODEL_DIR", str(tmp_path / "models"))
+
+    eng = DiarizationEngine.from_local()
+    assert eng.has_segmentation and eng.seg_fn is not None
+
+    audio = np.zeros(n, np.float32)
+    audio[2 * hop:20 * hop] = 0.4   # loud 0.02-0.2 s
+    regions = eng.segment_regions(audio)
+    assert regions, "no regions found"
+    (s0, s1, ch) = regions[0]
+    assert ch == 0
+    assert abs(s0 - 2 * hop) <= hop and abs(s1 - 20 * hop) <= hop
