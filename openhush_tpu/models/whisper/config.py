@@ -78,6 +78,15 @@ CONFIGS = {
         n_text_state=64, n_text_head=2, n_text_layer=2,
         n_vocab=51865, n_text_ctx=448, n_langs=99,
     ),
+    # 1-layer-decoder twin of "test" — the draft-model shape for
+    # speculative decoding tests (the large-v3-turbo : large-v3
+    # relationship: same encoder dims + vocab, shallow decoder).
+    "test-draft": WhisperConfig(
+        name="test-draft", n_mels=80, n_audio_ctx=1500,
+        n_audio_state=64, n_audio_head=2, n_audio_layer=2,
+        n_text_state=64, n_text_head=2, n_text_layer=1,
+        n_vocab=51865, n_text_ctx=448, n_langs=99,
+    ),
 }
 
 

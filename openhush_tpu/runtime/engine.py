@@ -13,6 +13,7 @@ drives at src/engine/whisper.rs:204-305.
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 import time
 import zlib
@@ -28,6 +29,8 @@ from openhush_tpu.models.whisper.convert import load_npz
 from openhush_tpu.ops import mel as mel_ops
 from openhush_tpu.runtime import validation
 from openhush_tpu.text.tokenizer import WhisperTokenizer
+
+log = logging.getLogger(__name__)
 
 # Temperature fallback schedule + acceptance thresholds (whisper defaults,
 # the same heuristics whisper.cpp replicates). OPENHUSH_NO_FALLBACK=1
@@ -91,7 +94,8 @@ class WhisperEngine:
                  dtype: str = "bfloat16",
                  vocab_dir: Optional[str] = None,
                  allow_random_init: bool = False,
-                 quantize_weights: Optional[bool] = None):
+                 quantize_weights: Optional[bool] = None,
+                 draft_model: Optional[str] = None):
         self.cfg = get_config(model)
         self.model_name = model
         self.language = language
@@ -135,12 +139,51 @@ class WhisperEngine:
         else:
             self._cross_kv = jax.jit(
                 lambda p, f: whisper.compute_cross_kv(self.cfg, p, f))
+        # Speculative decoding (token-exact, speed-only): a shallower
+        # decoder sharing this model's encoder drafts tokens; e.g.
+        # large-v3-turbo drafts for large-v3. OPENHUSH_DRAFT_MODEL or the
+        # draft_model arg opts in.
+        self.draft_cfg = self.draft_params = self._draft_cross_kv = None
+        draft_model = draft_model or os.environ.get(
+            "OPENHUSH_DRAFT_MODEL") or None
+        if draft_model:
+            self._init_draft(draft_model, allow_random_init)
+
+    def _init_draft(self, draft_model: str,
+                    allow_random_init: bool) -> None:
+        dcfg = get_config(draft_model)
+        if (dcfg.n_vocab != self.cfg.n_vocab
+                or dcfg.n_audio_state != self.cfg.n_audio_state
+                or dcfg.n_audio_ctx != self.cfg.n_audio_ctx):
+            log.warning(
+                "draft model %s incompatible with %s (vocab/encoder dims "
+                "differ); speculative decoding disabled", draft_model,
+                self.model_name)
+            return
+        dpath = os.path.join(default_model_dir(), f"{draft_model}.npz")
+        if os.path.exists(dpath):
+            from openhush_tpu.utils.checkpoint import load_params
+            dparams = jax.tree.map(lambda a: jnp.asarray(a, self.dtype),
+                                   load_params(dpath))
+        elif allow_random_init:
+            dparams = whisper.init_params(dcfg, jax.random.PRNGKey(1),
+                                          dtype=self.dtype)
+        else:
+            log.warning("draft model checkpoint missing (%s); speculative "
+                        "decoding disabled", dpath)
+            return
+        self.draft_cfg, self.draft_params = dcfg, dparams
+        self._draft_cross_kv = jax.jit(
+            lambda p, f: whisper.compute_cross_kv(dcfg, p, f))
+        log.info("speculative decoding: %s drafts for %s", draft_model,
+                 self.model_name)
 
     # -- single-window decode with temperature fallback ----------------------
 
     def _decode_window(self, cross_kv, language: str,
                        prompt_ids: list[int],
-                       opts: decoding.DecodingOptions) -> tuple[
+                       opts: decoding.DecodingOptions,
+                       draft_xkv=None) -> tuple[
                            decoding.DecodingResult, float, float]:
         """Run decode with whisper's temperature fallback ladder. Returns
         (result, compression_ratio, text) for batch row 0."""
@@ -152,6 +195,12 @@ class WhisperEngine:
                 from openhush_tpu.models.whisper import beam
                 result = beam.decode_beam(
                     self.cfg, self.params, cross_kv, tok, o,
+                    prompt_ids=prompt_ids)
+            elif t == 0.0 and draft_xkv is not None:
+                from openhush_tpu.models.whisper import speculative
+                result = speculative.decode_speculative(
+                    self.cfg, self.params, self.draft_cfg,
+                    self.draft_params, cross_kv, draft_xkv, tok, o,
                     prompt_ids=prompt_ids)
             else:
                 result = decoding.decode_greedy(
@@ -230,6 +279,8 @@ class WhisperEngine:
                 jnp.asarray(window), n_mels=self.cfg.n_mels)[None]
             feats = self._encode(self.params, mel.astype(self.dtype))
             cross_kv = self._cross_kv(self.params, feats)
+            draft_xkv = (self._draft_cross_kv(self.draft_params, feats)
+                         if self._draft_cross_kv is not None else None)
 
             if detected_language is None:
                 langs, _ = decoding.detect_language(
@@ -243,7 +294,8 @@ class WhisperEngine:
                 prompt_ids = [sp.start_of_prev] + prev[-room:]
 
             result, cr, text = self._decode_window(
-                cross_kv, detected_language, prompt_ids, opts)
+                cross_kv, detected_language, prompt_ids, opts,
+                draft_xkv=draft_xkv)
             content = self._content_tokens(result)
 
             # Silence skip (whisper's no_speech rule).
