@@ -31,6 +31,9 @@ def _add_transcribe(sub):
                         "(smoke tests only)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--draft", default=None, metavar="MODEL",
+                   help="speculative decoding draft (e.g. large-v3-turbo "
+                        "for large-v3); token-exact, speed-only")
     return p
 
 
@@ -64,7 +67,10 @@ def cmd_transcribe(args) -> int:
     try:
         engine = WhisperEngine(model, language=language,
                                translate=args.translate, dtype=args.dtype,
-                               allow_random_init=args.random_init)
+                               allow_random_init=args.random_init,
+                               draft_model=args.draft
+                               or config.transcription.draft_model
+                               or None)
     except FileNotFoundError as e:
         print(str(e), file=sys.stderr)
         return 1

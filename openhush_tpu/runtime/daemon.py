@@ -745,7 +745,9 @@ def _build_daemon(foreground: bool = True) -> Daemon:
     model = config.transcription.effective_model()
     allow_random = os.environ.get("OPENHUSH_ALLOW_RANDOM_INIT") == "1"
     eng = WhisperEngine(model, language=config.transcription.language,
-                        allow_random_init=allow_random)
+                        allow_random_init=allow_random,
+                        draft_model=config.transcription.draft_model
+                        or None)
     # Size the encoder context to the streaming chunk length (whisper.cpp
     # audio_ctx knob): ~50 positions/s with headroom, 64-aligned. VAD
     # segments longer than the window are split at submission.

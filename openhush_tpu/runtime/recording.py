@@ -222,7 +222,9 @@ def cmd_record(args: list[str]) -> int:
     allow_random = os.environ.get("OPENHUSH_ALLOW_RANDOM_INIT") == "1"
     try:
         eng = WhisperEngine(model, language=config.transcription.language,
-                            allow_random_init=allow_random)
+                            allow_random_init=allow_random,
+                            draft_model=config.transcription.draft_model
+                            or None)
     except FileNotFoundError as e:
         print(e, file=sys.stderr)
         return 1

@@ -33,6 +33,10 @@ class TranscriptionConfig:
     language: str = "auto"
     translate: bool = False
     device: str = "tpu"
+    # Speculative decoding (beyond-parity): a shallow-decoder draft
+    # sharing the model's encoder, e.g. "large-v3-turbo" for large-v3.
+    # Empty = off. Token-exact; speed-only.
+    draft_model: str = ""
 
     PRESETS = {"instant": "small", "balanced": "medium",
                "quality": "large-v3"}
