@@ -20,6 +20,13 @@ degrades SPEED only, never output — tests exploit exactly that.
 No counterpart in the reference (whisper.cpp decodes strictly
 sequentially; src/engine/whisper.rs:204-305) — this is a beyond-parity
 feature.
+
+Measured cost model (tools/spec_bench.py, v5e, large-v3 target +
+large-v3-turbo-shaped draft, B=1, K=5, bf16 + int8 cross-KV):
+greedy 3.68 ms/token; one speculative iteration 7.57 ms. Speedup =
+(1 + (K-1)*accept_rate) * 3.68 / 7.57 → breakeven at accept ≈ 0.26,
+2.0x at 0.8, 2.3x at 0.95. turbo IS distilled from large-v3, so real
+checkpoints sit in the high-accept regime.
 """
 
 from __future__ import annotations

@@ -56,10 +56,12 @@ def test_transcribe_missing_file():
     assert "File not found" in r.stderr
 
 
-def test_transcribe_missing_model(tmp_path):
+def test_transcribe_missing_model(tmp_path, monkeypatch):
     from openhush_tpu.audio.wav import save_wav
     p = str(tmp_path / "a.wav")
     save_wav(p, np.zeros(16000, np.float32))
+    # Isolate from any converted checkpoints on this machine.
+    monkeypatch.setenv("OPENHUSH_MODEL_DIR", str(tmp_path / "empty"))
     r = run_cli("transcribe", p, "--model", "tiny")
     assert r.returncode == 1
     assert "Model not found" in r.stderr

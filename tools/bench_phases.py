@@ -66,7 +66,11 @@ def main() -> int:
         return last
 
     def fence(x):
-        return np.asarray(jax.tree_util.tree_leaves(x)[0]).reshape(-1)[:1]
+        # Slice ON DEVICE before the host read — transferring a whole
+        # leaf (e.g. the 1 GB int8 cross-KV) through the dev tunnel would
+        # dominate the measurement.
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return np.asarray(leaf.reshape(-1)[:1])
 
     def timeit(fn, *args, reps=3):
         fence(fn(*args))
