@@ -198,8 +198,108 @@ def cmd_model(args) -> int:
         return _convert_m2m100(args)
     if args.model_cmd == "convert-aux":
         return _convert_aux(args)
+    if args.model_cmd == "download":
+        return _download_model(args)
+    if args.model_cmd == "remove":
+        return _remove_model(args)
+    if args.model_cmd in ("load", "unload"):
+        return _model_load_unload(args.model_cmd)
     print(f"unknown model subcommand: {args.model_cmd}", file=sys.stderr)
     return 1
+
+
+# HF hub file set per model (parity role: the ggml download table at
+# src/engine/whisper.rs:427-435 + the Range-resume downloader :456-598;
+# here the checkpoint is fetched from openai/whisper-* and converted to
+# npz in one step).
+_HF_BASE = "https://huggingface.co/openai/whisper-{name}/resolve/main"
+_HF_FILES = ("model.safetensors", "config.json", "vocab.json",
+             "merges.txt")
+
+
+def _download_model(args) -> int:
+    import os
+    import types
+
+    from openhush_tpu.runtime.engine import default_model_dir
+    from openhush_tpu.utils.downloads import download_with_resume
+
+    name = args.name
+    base = (args.base_url or _HF_BASE).format(name=name)
+    stage = os.path.join(default_model_dir(), "hf", name)
+    os.makedirs(stage, exist_ok=True)
+    for fname in _HF_FILES:
+        dest = os.path.join(stage, fname)
+        if os.path.exists(dest):
+            print(f"  {fname}: cached")
+            continue
+        url = f"{base}/{fname}"
+        print(f"  fetching {url}")
+        try:
+            download_with_resume(url, dest)
+        except Exception as e:  # noqa: BLE001
+            if fname in ("vocab.json", "merges.txt"):
+                print(f"  {fname}: unavailable ({e}); tokenizer falls "
+                      f"back to the built-in vocabulary")
+                continue
+            print(f"download failed: {e}", file=sys.stderr)
+            return 1
+    rc = _convert_model(types.SimpleNamespace(
+        name=name, hf_path=stage, output=None))
+    if rc == 0:
+        # Keep tokenizer files next to the npz (WhisperTokenizer.for_model
+        # picks them up from the model dir).
+        import shutil
+        for fname in ("vocab.json", "merges.txt"):
+            src = os.path.join(stage, fname)
+            if os.path.exists(src):
+                shutil.copy(src, os.path.join(default_model_dir(), fname))
+    return rc
+
+
+def _remove_model(args) -> int:
+    import os
+    import shutil
+
+    from openhush_tpu.runtime.engine import default_model_dir
+
+    removed = False
+    npz = os.path.join(default_model_dir(), f"{args.name}.npz")
+    if os.path.exists(npz):
+        os.unlink(npz)
+        removed = True
+        print(f"Removed {npz}")
+    stage = os.path.join(default_model_dir(), "hf", args.name)
+    if os.path.isdir(stage):
+        shutil.rmtree(stage)
+        removed = True
+        print(f"Removed {stage}")
+    if not removed:
+        print(f"Nothing to remove for {args.name}")
+    return 0
+
+
+def _model_load_unload(which: str) -> int:
+    """Ask the running daemon to load/unload the engine (parity:
+    ModelAction::Load/Unload over D-Bus, src/main.rs:1079-1120; our
+    engine server keeps the model resident so this is an ack)."""
+    member = "LoadModel" if which == "load" else "UnloadModel"
+    try:
+        from openhush_tpu.utils.dbus import DbusClient
+        client = DbusClient()
+        ok = client.call(member)
+        client.close()
+    except Exception:  # noqa: BLE001 — no session bus → IPC fallback
+        try:
+            from openhush_tpu.runtime import ipc
+            ok = ipc.IpcClient().send(
+                "load_model" if which == "load" else "unload_model"
+            ).get("ok", False)
+        except (ConnectionError, OSError):
+            print("Daemon not running", file=sys.stderr)
+            return 1
+    print("ok" if ok else "failed")
+    return 0 if ok else 1
 
 
 AUX_KINDS = ("silero", "rnnoise", "wakeword-embedding",
@@ -388,6 +488,16 @@ def build_parser() -> argparse.ArgumentParser:
     pm = sub.add_parser("model", help="Manage models")
     pm_sub = pm.add_subparsers(dest="model_cmd")
     pm_sub.add_parser("list", help="List models")
+    pd = pm_sub.add_parser(
+        "download", help="Download a HF Whisper checkpoint and convert "
+                         "it to npz (Range-resumable)")
+    pd.add_argument("name")
+    pd.add_argument("--base-url", default=None,
+                    help="override the HF URL template (mirrors/tests)")
+    pr = pm_sub.add_parser("remove", help="Remove a downloaded model")
+    pr.add_argument("name")
+    pm_sub.add_parser("load", help="Load model (running daemon)")
+    pm_sub.add_parser("unload", help="Unload model (running daemon)")
     pc = pm_sub.add_parser("convert",
                            help="Convert a HF Whisper checkpoint to npz")
     pc.add_argument("name")
