@@ -215,6 +215,7 @@ class Daemon:
             self._session_id = self.server.open_session()
             self._last_chunk_time = time.monotonic()
         log.info("Recording started (seq %d)", self._sequence)
+        self._emit_recording_changed()
         return True
 
     def stop_recording(self) -> bool:
@@ -226,6 +227,7 @@ class Daemon:
         if state == DaemonState.RECORDING:
             self._submit_chunk(final=True)
         log.info("Recording stopped (seq %d)", self._sequence)
+        self._emit_recording_changed()
         return True
 
     def toggle_recording(self) -> bool:
@@ -247,6 +249,7 @@ class Daemon:
             self.tracker.reset_dedup()
             self._session_id = self.server.open_session()
         log.info("Continuous dictation started (seq %d)", self._sequence)
+        self._emit_recording_changed()
         return True
 
     # -- chunk submission -------------------------------------------------------
@@ -464,17 +467,11 @@ class Daemon:
     def _handle_dbus(self, member: str):
         """org.openhush.Daemon1 methods (parity: src/dbus/interface.rs:35)."""
         if member == "StartRecording":
-            ok = self.start_recording()
-            self._emit_recording_changed()
-            return ("b", ok)
+            return ("b", self.start_recording())
         if member == "StopRecording":
-            ok = self.stop_recording()
-            self._emit_recording_changed()
-            return ("b", ok)
+            return ("b", self.stop_recording())
         if member == "ToggleRecording":
-            ok = self.toggle_recording()
-            self._emit_recording_changed()
-            return ("b", ok)
+            return ("b", self.toggle_recording())
         if member in ("LoadModel", "UnloadModel"):
             return ("b", True)   # engine server keeps the model resident
         if member == "GetStatus":

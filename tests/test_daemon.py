@@ -205,3 +205,30 @@ def test_config_profiles_roundtrip(tmp_path):
     loaded = Config.load_or_default(str(p))
     assert len(loaded.profiles) == 2
     assert loaded.profiles[1]["filler_mode"] == "aggressive"
+
+
+def test_recording_changed_emitted_on_all_paths(server, tmp_path):
+    """IsRecordingChanged must fire for ANY transition source (hotkey,
+    IPC, REST, tray), not only D-Bus method calls — the signal path
+    status bars subscribe to (src/dbus/service.rs:47)."""
+    outputs = []
+    d = _make_daemon(server, tmp_path, outputs)
+
+    emitted = []
+
+    class FakeBus:
+        def emit_recording_changed(self, rec):
+            emitted.append(rec)
+
+    d._dbus = FakeBus()
+    d.ring.push(_audio(1.0))
+    assert d.start_recording()          # "hotkey" path, no dbus handler
+    assert emitted == [True]
+    assert d.stop_recording()
+    assert emitted == [True, False]
+    assert not d.stop_recording()       # no-op transition → no signal
+    assert emitted == [True, False]
+    assert d.start_continuous()
+    assert emitted == [True, False, True]
+    d.stop_recording()
+    d._dbus = None
