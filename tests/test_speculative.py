@@ -81,6 +81,7 @@ def test_token_exact_vs_greedy(setup, timestamps):
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_token_exact_with_int8_cross_kv(setup):
     g, s = _run_both(setup, timestamps=True, quant=True)
     np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(s[0]))
@@ -100,6 +101,7 @@ def test_different_draft_same_output(setup):
     np.testing.assert_array_equal(np.asarray(s1[0]), np.asarray(s2[0]))
 
 
+@pytest.mark.slow
 def test_engine_transcribe_with_draft_token_exact():
     """Full engine path (seek loop, ladder, segment parsing): a draft
     engine must transcribe IDENTICALLY to a plain one."""
