@@ -1216,8 +1216,52 @@ def cmd_preferences(args: list[str]) -> int:
 
 
 def cmd_device(args: list[str]) -> int:
+    """openhush device [list [--format json] | set NAME | channels SEL]
+    (parity: DeviceAction::List/Set/Channels, src/main.rs:324-343)."""
     from openhush_tpu.audio.capture import SoundDeviceSource
+    from openhush_tpu.utils.config import Config
+
+    action = args[0] if args and not args[0].startswith("-") else "list"
+    rest = args[1:] if args and args[0] == action else args
+
+    if action == "set":
+        if not rest:
+            print("usage: openhush device set NAME", file=sys.stderr)
+            return 2
+        cfg = Config.load_or_default()
+        cfg.audio.device = rest[0]
+        cfg.save()
+        print(f"Input device set to {rest[0]!r}")
+        return 0
+    if action == "channels":
+        if not rest:
+            print("usage: openhush device channels all|0,1,...",
+                  file=sys.stderr)
+            return 2
+        cfg = Config.load_or_default()
+        sel = rest[0]
+        try:
+            cfg.audio.channels = ([] if sel == "all" else
+                                  [int(c) for c in sel.split(",") if c])
+        except ValueError:
+            print(f"bad channel selection {sel!r} (use \"all\" or "
+                  f"comma-separated indices)", file=sys.stderr)
+            return 2
+        cfg.save()
+        print(f"Channel selection: {sel}")
+        return 0
+
     devices = SoundDeviceSource.list_devices()
+    as_json = "--format" in rest and "json" in rest or "-f" in rest \
+        and "json" in rest
+    if as_json:
+        rows = [{"id": i, "name": d.get("name", "?"),
+                 "channels": d.get("max_input_channels", 0),
+                 "sample_rate": d.get("default_samplerate", 0)}
+                for i, d in enumerate(devices)
+                if d.get("max_input_channels", 0) > 0]
+        print(json.dumps(rows))
+        return 0
     if not devices:
         print("No audio devices found (sounddevice not installed or no "
               "hardware)")

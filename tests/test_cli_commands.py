@@ -135,3 +135,23 @@ def test_summarize_list_templates(env):
     assert r.returncode == 0
     for t in ("summary", "meeting", "standup", "retro", "1on1"):
         assert t in r.stdout
+
+
+def test_device_set_and_channels(tmp_path, monkeypatch, capsys):
+    """DeviceAction::Set/Channels parity (src/main.rs:332-343)."""
+    from openhush_tpu.runtime.daemon import cmd_device
+    from openhush_tpu.utils.config import Config
+
+    monkeypatch.setenv("OPENHUSH_CONFIG", str(tmp_path / "c.toml"))
+    assert cmd_device(["set", "USB Mic"]) == 0
+    assert cmd_device(["channels", "0,2"]) == 0
+    cfg = Config.load_or_default()
+    assert cfg.audio.device == "USB Mic"
+    assert cfg.audio.channels == [0, 2]
+    assert cmd_device(["channels", "all"]) == 0
+    assert Config.load_or_default().audio.channels == []
+    assert cmd_device(["channels", "x,y"]) == 2
+    assert cmd_device(["list", "--format", "json"]) == 0
+    import json as _json
+    assert isinstance(_json.loads(capsys.readouterr().out.strip()
+                                  .splitlines()[-1]), list)
