@@ -23,6 +23,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# Persistent compilation cache: first large-v3 compile through the dev
+# tunnel runs minutes; cached reruns start in seconds.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                   os.path.expanduser("~/.cache/jax_comp")))
 import jax.numpy as jnp
 import numpy as np
 
