@@ -55,8 +55,13 @@ def make_bench_step(cfg):
         )(audio).astype(jnp.bfloat16)
         feats = whisper.encode(cfg, params, mel)
         cross_kv = whisper.compute_cross_kv_quant(cfg, params, feats)
-        cache = whisper.init_kv_cache(cfg, audio.shape[0], dtype=feats.dtype,
-                                      max_len=CACHE_LEN)
+        if os.environ.get("OPENHUSH_BENCH_INT8_CACHE") == "1":
+            cache = whisper.init_quant_kv_cache(cfg, audio.shape[0],
+                                                max_len=CACHE_LEN)
+        else:
+            cache = whisper.init_kv_cache(cfg, audio.shape[0],
+                                          dtype=feats.dtype,
+                                          max_len=CACHE_LEN)
         logits, cache = whisper.decode(cfg, params, prompt, jnp.int32(0),
                                        cache, cross_kv)
         p = prompt.shape[1]

@@ -370,6 +370,21 @@ def _quantize_heads(x: jax.Array, n_head: int
     return q, safe
 
 
+def init_quant_kv_cache(cfg: WhisperConfig, batch: int,
+                        max_len: Optional[int] = None) -> QuantKVCache:
+    """int8 self-attention cache (opt-in): halves the self-KV read of the
+    decode step. Same flat layout as init_kv_cache + per-(position, head)
+    scales; decode() quantizes at write time."""
+    max_len = max_len or cfg.n_text_ctx
+    L, H = cfg.n_text_layer, cfg.n_text_head
+    shape = (L, batch, max_len, cfg.n_text_state)
+    sshape = (L, batch, max_len, H)
+    return QuantKVCache(jnp.zeros(shape, jnp.int8),
+                        jnp.zeros(sshape, jnp.float32),
+                        jnp.zeros(shape, jnp.int8),
+                        jnp.zeros(sshape, jnp.float32))
+
+
 def compute_cross_kv_quant(cfg: WhisperConfig, params: Params,
                            audio_features: jax.Array) -> QuantKVCache:
     """Quantized variant of compute_cross_kv (layer-at-a-time so the fp32
@@ -529,37 +544,57 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
             self_mask = (key_idx <= pos + q_idx)[None, None]
 
     def _update_cache(c, new):
-        """c [B,T,HD] ← new [B,S,HD] at per-row or shared offset."""
+        """c [B,T,...] ← new [B,S,...] at per-row or shared offset."""
         if per_row:
             return jax.vmap(
                 lambda cb, nb, p: jax.lax.dynamic_update_slice(
-                    cb, nb, (p, 0)))(c, new, pos)
-        return jax.lax.dynamic_update_slice(c, new, (0, pos, 0))
+                    cb, nb, (p,) + (0,) * (cb.ndim - 1)))(c, new, pos)
+        return jax.lax.dynamic_update_slice(
+            c, new, (0, pos) + (0,) * (c.ndim - 2))
 
     quantized = isinstance(cross_kv, QuantKVCache)
+    # Opt-in int8 SELF-cache (halves the third-largest decode read):
+    # values int8 [L,B,T,H*Dh] + per-(position, head) scales, quantized
+    # at write time, consumed by the same scale-folded attention paths
+    # as the int8 cross-KV.
+    quant_self = isinstance(cache, QuantKVCache)
     d_model = cfg.n_text_state
     dh = d_model // n_head
 
     def block(x, scanned):
         if quantized:
-            lp, k_cache, v_cache, xk, xks, xv, xvs = scanned
+            (lp, k_cache, v_cache, *self_scales, xk, xks, xv,
+             xvs) = scanned
         else:
-            lp, k_cache, v_cache, xk, xv = scanned
+            lp, k_cache, v_cache, *self_scales, xk, xv = scanned
         # --- causal self-attention against the cache ---
         h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
         q = _mm(h, lp["q_w"]) + lp["q_b"]                    # [B, S, HD]
         k_new = _mm(h, lp["k_w"])
         v_new = _mm(h, lp["v_w"]) + lp["v_b"]
-        k_cache = _update_cache(k_cache, k_new)
-        v_cache = _update_cache(v_cache, v_new)
+        if quant_self:
+            ks_cache, vs_cache = self_scales
+            k8, k_s = _quantize_heads(k_new, n_head)
+            v8, v_s = _quantize_heads(v_new, n_head)
+            k_cache = _update_cache(k_cache, k8)
+            v_cache = _update_cache(v_cache, v8)
+            ks_cache = _update_cache(ks_cache, k_s)
+            vs_cache = _update_cache(vs_cache, v_s)
+            self_ks, self_vs = ks_cache, vs_cache
+        else:
+            k_cache = _update_cache(k_cache, k_new)
+            v_cache = _update_cache(v_cache, v_new)
+            self_ks = self_vs = None
         if decode_step:
             attn = _attend_decode_flat(q[:, 0], k_cache, v_cache,
-                                       self_mask, n_head)[:, None]
+                                       self_mask, n_head,
+                                       ks=self_ks, vs=self_vs)[:, None]
         else:
             attn = _attend_views(
                 q.reshape(B, S, n_head, dh),
                 k_cache.reshape(B, max_len, n_head, dh),
-                v_cache.reshape(B, max_len, n_head, dh), self_mask)
+                v_cache.reshape(B, max_len, n_head, dh), self_mask,
+                ks=self_ks, vs=self_vs)
         x = x + _mm(attn, lp["o_w"]) + lp["o_b"]
         # --- cross-attention over audio features ---
         h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
@@ -581,14 +616,21 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
         # --- MLP ---
         h = layer_norm(x, lp["ln3_scale"], lp["ln3_bias"])
         x = x + _mlp(h, lp)
+        if quant_self:
+            return x, (k_cache, v_cache, ks_cache, vs_cache)
         return x, (k_cache, v_cache)
 
+    self_cache = ((cache.k, cache.v, cache.k_scale, cache.v_scale)
+                  if quant_self else (cache.k, cache.v))
     if quantized:
-        xs = (dec["layers"], cache.k, cache.v, cross_kv.k,
+        xs = (dec["layers"], *self_cache, cross_kv.k,
               cross_kv.k_scale, cross_kv.v, cross_kv.v_scale)
     else:
-        xs = (dec["layers"], cache.k, cache.v, cross_kv.k, cross_kv.v)
-    x, (k_all, v_all) = jax.lax.scan(block, x, xs)
+        xs = (dec["layers"], *self_cache, cross_kv.k, cross_kv.v)
+    x, cache_out = jax.lax.scan(block, x, xs)
+    new_cache = (QuantKVCache(cache_out[0], cache_out[2], cache_out[1],
+                              cache_out[3]) if quant_self
+                 else KVCache(*cache_out))
 
     x = layer_norm(x, dec["ln_scale"], dec["ln_bias"])
     logits = jnp.dot(x.astype(jnp.float32),
@@ -599,7 +641,7 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
         pad_mask = jnp.arange(cfg.n_vocab_padded) >= cfg.n_vocab
         logits = jnp.where(pad_mask[None, None], jnp.finfo(jnp.float32).min,
                            logits)
-    return logits, KVCache(k_all, v_all)
+    return logits, new_cache
 
 
 def forward(cfg: WhisperConfig, params: Params, mel: jax.Array,

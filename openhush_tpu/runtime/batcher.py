@@ -43,6 +43,11 @@ NEG_INF = decoding.NEG_INF
 class SlotState(NamedTuple):
     cache_k: jax.Array
     cache_v: jax.Array
+    # Self-cache scales [L, B, T, H] — meaningful only in int8-self-cache
+    # mode (init_state(int8_self_cache=True)); [L, B, 1, 1] placeholders
+    # otherwise.
+    cache_ks: jax.Array
+    cache_vs: jax.Array
     xkv_k: jax.Array          # int8 [L, B, A, H*Dh] (flat layout)
     xkv_ks: jax.Array         # f32  [L, B, A, H] per-(position, head) scales
     xkv_v: jax.Array
@@ -73,6 +78,7 @@ class SlotState(NamedTuple):
 
 
 def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
+               int8_self_cache: bool = False,
                max_len: Optional[int] = None,
                audio_ctx: Optional[int] = None) -> SlotState:
     """audio_ctx < n_audio_ctx restricts the encoder context (whisper.cpp's
@@ -84,9 +90,13 @@ def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
     T = max_len or cfg.n_text_ctx
     A = audio_ctx or cfg.n_audio_ctx
     sp = WhisperTokenizer(cfg.n_langs).special
+    cache_dtype = jnp.int8 if int8_self_cache else dtype
+    sshape = (L, B, T, H) if int8_self_cache else (L, B, 1, 1)
     return SlotState(
-        cache_k=jnp.zeros((L, B, T, H * Dh), dtype),
-        cache_v=jnp.zeros((L, B, T, H * Dh), dtype),
+        cache_k=jnp.zeros((L, B, T, H * Dh), cache_dtype),
+        cache_v=jnp.zeros((L, B, T, H * Dh), cache_dtype),
+        cache_ks=jnp.zeros(sshape, jnp.float32),
+        cache_vs=jnp.zeros(sshape, jnp.float32),
         # Cross-KV slots are ALWAYS int8 (halves the dominant per-step read
         # and doubles session capacity; argmax-identical output).
         xkv_k=jnp.zeros((L, B, A, H * Dh), jnp.int8),
@@ -123,6 +133,23 @@ def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
 # tiny [B, n_ctx] int32 copy per dispatch.
 _PEEK_FIELDS = ("tokens", "pos")
 _DONATED_FIELDS = tuple(f for f in SlotState._fields if f not in _PEEK_FIELDS)
+
+
+def _self_cache(state: SlotState):
+    """SlotState fields → the decode() self-cache (int8 mode carries
+    per-(position, head) scales)."""
+    if state.cache_k.dtype == jnp.int8:
+        return whisper.QuantKVCache(state.cache_k, state.cache_ks,
+                                    state.cache_v, state.cache_vs)
+    return whisper.KVCache(state.cache_k, state.cache_v)
+
+
+def _cache_fields(cache) -> dict:
+    """decode()'s returned cache → SlotState._replace kwargs."""
+    if isinstance(cache, whisper.QuantKVCache):
+        return dict(cache_k=cache.k, cache_ks=cache.k_scale,
+                    cache_v=cache.v, cache_vs=cache.v_scale)
+    return dict(cache_k=cache.k, cache_v=cache.v)
 
 
 def _pack(state: SlotState):
@@ -185,24 +212,38 @@ def _prefill_row(cfg: WhisperConfig, params, state: SlotState,
     Expects state.xkv_* to already hold the row's cross-KV."""
     sp = WhisperTokenizer(cfg.n_langs).special
     T = state.tokens.shape[1]
+    quant_self = state.cache_k.dtype == jnp.int8
 
-    zero_row = jnp.zeros_like(
-        jax.lax.dynamic_slice_in_dim(state.cache_k, 0, 1, axis=1))
-    cache_k = jax.lax.dynamic_update_slice(
-        state.cache_k, zero_row, (0, slot, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(
-        state.cache_v, zero_row, (0, slot, 0, 0))
+    def zero_slot(buf):
+        row = jnp.zeros_like(
+            jax.lax.dynamic_slice_in_dim(buf, 0, 1, axis=1))
+        return jax.lax.dynamic_update_slice(buf, row, (0, slot, 0, 0))
+
+    row_of = lambda buf: jax.lax.dynamic_slice_in_dim(buf, slot, 1,
+                                                      axis=1)
+    put_row = lambda buf, row: jax.lax.dynamic_update_slice(
+        buf, row.astype(buf.dtype), (0, slot, 0, 0))
+
+    cache_k = zero_slot(state.cache_k)
+    cache_v = zero_slot(state.cache_v)
+    cache_ks, cache_vs = state.cache_ks, state.cache_vs
+    if quant_self:
+        cache_ks = zero_slot(cache_ks)
+        cache_vs = zero_slot(cache_vs)
+        row_cache = whisper.QuantKVCache(
+            row_of(cache_k), row_of(cache_ks),
+            row_of(cache_v), row_of(cache_vs))
+    else:
+        row_cache = whisper.KVCache(row_of(cache_k), row_of(cache_v))
 
     # Prefill this row alone.
-    row_cache = whisper.KVCache(
-        jax.lax.dynamic_slice_in_dim(cache_k, slot, 1, axis=1),
-        jax.lax.dynamic_slice_in_dim(cache_v, slot, 1, axis=1))
     logits, row_cache = whisper.decode(cfg, params, prompt, jnp.int32(0),
                                        row_cache, row_xkv)
-    cache_k = jax.lax.dynamic_update_slice(cache_k, row_cache.k,
-                                           (0, slot, 0, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, row_cache.v,
-                                           (0, slot, 0, 0))
+    cache_k = put_row(cache_k, row_cache.k)
+    cache_v = put_row(cache_v, row_cache.v)
+    if quant_self:
+        cache_ks = put_row(cache_ks, row_cache.k_scale)
+        cache_vs = put_row(cache_vs, row_cache.v_scale)
     sot_probs = jax.nn.softmax(logits[:, 0].astype(jnp.float32), -1)
 
     tokens_row = jnp.full((1, T), sp.eot, jnp.int32)
@@ -211,6 +252,7 @@ def _prefill_row(cfg: WhisperConfig, params, state: SlotState,
         a, jnp.asarray(v).reshape((1,) + a.shape[1:]), (slot,) + (0,) * (a.ndim - 1))
     return state._replace(
         cache_k=cache_k, cache_v=cache_v,
+        cache_ks=cache_ks, cache_vs=cache_vs,
         tokens=jax.lax.dynamic_update_slice(state.tokens, tokens_row,
                                             (slot, 0)),
         pos=set1(state.pos, jnp.int32(prompt_len)),
@@ -372,7 +414,7 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
             state.tokens, nxt, state.pos)
         tokens = jnp.where(live[:, None], tokens, state.tokens)
 
-        cache = whisper.KVCache(state.cache_k, state.cache_v)
+        cache = _self_cache(state)
         xkv = whisper.QuantKVCache(state.xkv_k, state.xkv_ks,
                                    state.xkv_v, state.xkv_vs)
         logits, cache = whisper.decode(cfg, params, nxt[:, None], state.pos,
@@ -380,7 +422,7 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
         pos = state.pos + jnp.where(live & ~finished, 1, 0)
 
         return state._replace(
-            cache_k=cache.k, cache_v=cache.v, tokens=tokens, pos=pos,
+            **_cache_fields(cache), tokens=tokens, pos=pos,
             length=length, sum_logprob=sum_lp,
             last_logits=logits[:, -1].astype(jnp.float32),
             finished=finished, ts_prev=ts_prev, ts_prevprev=ts_prevprev,

@@ -99,7 +99,8 @@ class EngineServer:
                  logprob_threshold: float = -1.0,
                  no_speech_threshold: float = 0.6,
                  rep_threshold: int = 12,
-                 max_admissions_per_turn: int = 1):
+                 max_admissions_per_turn: int = 1,
+                 int8_self_cache: Optional[bool] = None):
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
@@ -110,9 +111,14 @@ class EngineServer:
         # ~chunk_secs*50 encoder positions (+margin) — 3-4x less cross-KV
         # traffic per decode step than the full 30 s context.
         self.audio_ctx = min(audio_ctx or cfg.n_audio_ctx, cfg.n_audio_ctx)
+        if int8_self_cache is None:
+            import os
+            int8_self_cache = os.environ.get(
+                "OPENHUSH_INT8_SELF_CACHE", "0") == "1"
         self.state = batcher.init_state(cfg, n_slots, dtype=dtype,
                                         max_len=max_decode_len,
-                                        audio_ctx=self.audio_ctx)
+                                        audio_ctx=self.audio_ctx,
+                                        int8_self_cache=int8_self_cache)
         # Per-window preprocessing (denoise/normalize/compress/limit —
         # the reference worker's preprocess_audio, src/queue/worker.rs:196).
         self.preprocess = preprocess

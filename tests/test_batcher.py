@@ -453,3 +453,58 @@ def test_batched_prep_token_exact(setup):
             server_1.run_once()
             r = server_1.poll(s)
         assert r.tokens == got_b[sids_b[i]], f"window {i} diverged"
+
+
+def test_int8_self_cache_modes(setup):
+    """Opt-in int8 self-cache (OPENHUSH_INT8_SELF_CACHE / init_state
+    flag). Unlike the int8 cross-KV (argmax-identical), self-cache
+    quantization errors COMPOUND through the autoregressive chain, so
+    the contract is bounded logit drift per step, not token equality —
+    random-weight near-ties may flip while real-weight margins don't."""
+    cfg, params, tok = setup
+
+    # 1. Per-step logit accuracy on a SHARED history: prefill the same
+    #    prompt into fp and int8 caches, compare next-step logits.
+    xkv = _xkv_for(cfg, params, seed=23, quant=True)
+    prompt = tok.sot_sequence("en", "transcribe")
+    parr = jnp.asarray([prompt], jnp.int32)
+    cache_f = whisper.init_kv_cache(cfg, 1, max_len=64)
+    lf, cache_f = whisper.decode(cfg, params, parr, jnp.int32(0),
+                                 cache_f, xkv)
+    cache_q = whisper.init_quant_kv_cache(cfg, 1, max_len=64)
+    lq, cache_q = whisper.decode(cfg, params, parr, jnp.int32(0),
+                                 cache_q, xkv)
+    nxt = jnp.argmax(lf[:, -1], -1).astype(jnp.int32)[:, None]
+    lf2, _ = whisper.decode(cfg, params, nxt, jnp.int32(len(prompt)),
+                            cache_f, xkv)
+    lq2, _ = whisper.decode(cfg, params, nxt, jnp.int32(len(prompt)),
+                            cache_q, xkv)
+    a, b = np.asarray(lf2[0, -1]), np.asarray(lq2[0, -1])
+    valid = np.isfinite(a) & np.isfinite(b)
+    scale = np.abs(a[valid]).max()
+    assert np.abs(a[valid] - b[valid]).max() < 0.02 * scale, \
+        "int8 self-cache logit drift exceeds 2%"
+
+    # 2. End-to-end: int8-mode server runs a window to completion with
+    #    sane outputs and the right buffer dtypes.
+    server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                          dtype=jnp.float32, tokenizer=tok,
+                          int8_self_cache=True, **NO_GUARDS)
+    assert server.state.cache_k.dtype == jnp.int8
+    assert server.state.cache_ks.shape[-1] == cfg.n_text_head
+    rng = np.random.default_rng(17)
+    sid = server.open_session()
+    server.submit_window(sid, (0.2 * rng.standard_normal(16000 * 2)
+                               ).astype(np.float32), window_id=0)
+    r = None
+    while r is None:
+        server.run_once()
+        r = server.poll(sid)
+    assert isinstance(r.text, str) and 0.0 <= r.no_speech_prob <= 1.0
+
+    # 3. Default mode keeps fp caches + placeholder scales.
+    fp_server = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                             dtype=jnp.float32, tokenizer=tok,
+                             **NO_GUARDS)
+    assert fp_server.state.cache_k.dtype == jnp.float32
+    assert fp_server.state.cache_ks.shape[2:] == (1, 1)
