@@ -56,18 +56,26 @@ def cmd_transcribe(args) -> int:
     language = args.language or config.transcription.language
 
     t_load = time.monotonic()
-    audios = [load_wav(f) for f in files]
+    try:
+        audios = [load_wav(f) for f in files]
+    except (ValueError, OSError) as e:
+        print(f"Cannot load audio: {e}", file=sys.stderr)
+        return 1
     load_ms = (time.monotonic() - t_load) * 1000
     total_secs = sum(len(a) for a in audios) / 16000.0
     print(f"Loaded: {total_secs:.2f}s audio ({len(files)} file(s)) "
           f"in {load_ms:.0f}ms")
 
-    print(f"Loading model: {model}.npz (TPU: True)")
+    import jax
+    print(f"Loading model: {model}.npz "
+          f"(backend: {jax.default_backend()})")
     t_model = time.monotonic()
     try:
         engine = WhisperEngine(model, language=language,
                                translate=args.translate, dtype=args.dtype,
-                               allow_random_init=args.random_init,
+                               allow_random_init=args.random_init or
+                               os.environ.get(
+                                   "OPENHUSH_ALLOW_RANDOM_INIT") == "1",
                                draft_model=args.draft
                                or config.transcription.draft_model
                                or None)
@@ -217,6 +225,18 @@ _HF_FILES = ("model.safetensors", "config.json", "vocab.json",
              "merges.txt")
 
 
+def _safe_model_name(name: str) -> bool:
+    """Reject names that would escape the model directory (or the
+    download URL path) when interpolated: path separators and '..'
+    drive unlink/rmtree/URL construction."""
+    import os
+    if not name or name in (".", ".."):
+        return False
+    if "/" in name or "\\" in name or os.sep in name or ".." in name:
+        return False
+    return True
+
+
 def _download_model(args) -> int:
     import os
     import types
@@ -225,6 +245,9 @@ def _download_model(args) -> int:
     from openhush_tpu.utils.downloads import download_with_resume
 
     name = args.name
+    if not _safe_model_name(name):
+        print(f"invalid model name: {name!r}", file=sys.stderr)
+        return 1
     base = (args.base_url or _HF_BASE).format(name=name)
     stage = os.path.join(default_model_dir(), "hf", name)
     os.makedirs(stage, exist_ok=True)
@@ -263,6 +286,9 @@ def _remove_model(args) -> int:
 
     from openhush_tpu.runtime.engine import default_model_dir
 
+    if not _safe_model_name(args.name):
+        print(f"invalid model name: {args.name!r}", file=sys.stderr)
+        return 1
     removed = False
     npz = os.path.join(default_model_dir(), f"{args.name}.npz")
     if os.path.exists(npz):

@@ -183,10 +183,7 @@ def _attend_full_flash(q, k, v):
     # 128→1243 ms, 512→609 ms, 1536 (full row)→586 ms. Whisper's T is at
     # most 1536 padded, so full-row blocks fit VMEM comfortably
     # (1536x1536 fp32 scores = 9.4 MB). OPENHUSH_FLASH_BLOCK tunes.
-    import os as _os
-    blk = min(int(_os.environ.get("OPENHUSH_FLASH_BLOCK", "1536")), Tp)
-    while Tp % blk:
-        blk //= 2
+    blk = _flash_block(Tp)
     bs = _fa.BlockSizes(block_q=blk, block_k_major=blk, block_k=blk,
                         block_b=1, block_q_major_dkv=blk,
                         block_k_major_dkv=blk, block_k_dkv=blk,
@@ -195,6 +192,24 @@ def _attend_full_flash(q, k, v):
     out = _fa.flash_attention(q, k, v, segment_ids=seg_ids,
                               sm_scale=dh ** -0.5, block_sizes=bs)
     return out[:, :, :T]
+
+
+def _flash_block(Tp: int) -> int:
+    """Flash block size for a padded row length Tp: OPENHUSH_FLASH_BLOCK
+    clamped to [128, Tp] (invalid / non-positive values fall back to the
+    1536 default instead of crashing the encoder trace), then halved
+    until it divides Tp."""
+    import os
+    try:
+        blk = int(os.environ.get("OPENHUSH_FLASH_BLOCK", "1536"))
+    except ValueError:
+        blk = 1536
+    if blk < 1:
+        blk = 1536
+    blk = max(128, min(blk, Tp))
+    while Tp % blk:
+        blk //= 2
+    return blk
 
 
 def _flash_ok(q) -> bool:

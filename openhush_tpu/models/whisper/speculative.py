@@ -227,8 +227,14 @@ def decode_speculative(cfg: WhisperConfig, params,
     prompt_arr = np.tile(np.asarray(prompt, np.int32), (B, 1))
     suppress = jnp.asarray(decoding.build_suppress_mask(tok, cfg, opts))
     max_new = min(opts.max_new_tokens, cfg.n_text_ctx - len(prompt) - 1)
-    cache_len = min(cfg.n_text_ctx,
-                    ((len(prompt) + max_new + k_spec + 63) // 64) * 64)
+    # The verify pass writes K-token blocks at per-row offset
+    # fed = prompt_len + n - 1, reaching prompt_len + max_new + K - 2 in
+    # the worst case.  The cache must cover that WITHOUT an n_text_ctx
+    # clamp: jax.lax.dynamic_update_slice clamps start indices, so an
+    # undersized cache would silently overwrite earlier KV entries and
+    # break the token-identical-to-greedy guarantee at the tail of
+    # max-length decodes (long prev-context prompts hit this).
+    cache_len = ((len(prompt) + max_new + k_spec + 63) // 64) * 64
     cache_dtype = (cross_kv.k.dtype if cross_kv.k.dtype != jnp.int8
                    else params["decoder"]["pos_emb"].dtype)
     cache = whisper.init_kv_cache(cfg, B, dtype=cache_dtype,

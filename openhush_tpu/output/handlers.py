@@ -121,17 +121,22 @@ class OutputHandler:
     """Clipboard/paste/both dispatch (src/output/mod.rs:44)."""
 
     def __init__(self, mode: str = "both", paste_method: str = "type",
-                 fallback=None):
+                 fallback=None, separator: str = " "):
         self.mode = mode
         self.paste_method = paste_method
         self.fallback = fallback or (lambda text: print(text, flush=True))
+        # [queue].separator (config.example.toml:64): joiner typed
+        # between consecutive pasted transcriptions of one flush batch.
+        self.separator = separator
 
-    def output(self, text: str) -> None:
+    def output(self, text: str, continuation: bool = False) -> None:
         delivered = False
         if self.mode in ("clipboard", "both"):
             delivered = copy_to_clipboard(text) or delivered
         if self.mode in ("paste", "both"):
-            delivered = paste_text(text, self.paste_method) or delivered
+            pasted = (self.separator + text
+                      if continuation and self.separator else text)
+            delivered = paste_text(pasted, self.paste_method) or delivered
         if not delivered:
             self.fallback(text)
 

@@ -122,9 +122,17 @@ class OpenAiCompatProvider:
     api_key: str = ""
     timeout_secs: float = 120.0
 
+    def _endpoint(self) -> str:
+        # Accept both base forms: the reference's base_url includes /v1
+        # (config.example.toml:110); the bare host form doesn't.
+        base = self.url.rstrip("/")
+        if not base.endswith("/v1"):
+            base += "/v1"
+        return f"{base}/chat/completions"
+
     def generate(self, prompt: str) -> str:
         resp = request_json(
-            f"{self.url}/v1/chat/completions", method="POST",
+            self._endpoint(), method="POST",
             payload={"model": self.model,
                      "messages": [{"role": "user", "content": prompt}]},
             headers={"Authorization": f"Bearer {self.api_key}"},

@@ -111,7 +111,20 @@ class Daemon:
         self.config = config
         self.server = server
         self.source = audio_source
-        self.output = output or (lambda text: print(text, flush=True))
+        self._handler = None
+        if output is None:
+            # Real daemon path: clipboard/paste per [output] config with
+            # [queue].separator between pasted chunks (parity:
+            # OutputHandler::output, src/output/mod.rs:44); falls back
+            # to stdout when no clipboard/display is available.
+            from openhush_tpu.output.handlers import OutputHandler
+            self._handler = OutputHandler(
+                mode=config.output.mode,
+                paste_method=config.output.paste_method,
+                separator=getattr(config.queue, "separator", " "))
+            output = self._handler.output
+        self.output = output
+        self._batch_outputs = 0
         self.ring = RingBuffer(duration_secs=60.0)
         self.tracker = TranscriptionTracker(streaming=True)
         self.vad_engine = vad_engine or vad_mod.create_engine(config.vad)
@@ -216,7 +229,24 @@ class Daemon:
             self._last_chunk_time = time.monotonic()
         log.info("Recording started (seq %d)", self._sequence)
         self._emit_recording_changed()
+        self._feedback(started=True)
         return True
+
+    def _feedback(self, started: bool) -> None:
+        """[feedback] section parity (config.example.toml:51-57): beep +
+        desktop notification on recording start/stop."""
+        fb = getattr(self.config, "feedback", None)
+        if fb is None:
+            return
+        try:
+            from openhush_tpu.utils.platform import notify, play_sound
+            if fb.audio:
+                play_sound("message" if started else "bell")
+            if fb.visual:
+                notify("OpenHush",
+                       "Recording…" if started else "Recording stopped")
+        except Exception:  # noqa: BLE001 — feedback is never fatal
+            pass
 
     def stop_recording(self) -> bool:
         with self._lock:
@@ -228,6 +258,7 @@ class Daemon:
             self._submit_chunk(final=True)
         log.info("Recording stopped (seq %d)", self._sequence)
         self._emit_recording_changed()
+        self._feedback(started=False)
         return True
 
     def toggle_recording(self) -> bool:
@@ -590,6 +621,7 @@ class Daemon:
             self.tracker.add_result(ChunkResult(
                 text=res.text.strip(), sequence_id=seq, chunk_id=chunk,
                 is_final=final, duration_secs=0.0))
+        self._batch_outputs = 0
         for ready in self.tracker.take_ready():
             if ready.text:
                 self._process_and_output(ready)
@@ -632,7 +664,12 @@ class Daemon:
         for out_text in texts:
             if not out_text:
                 continue
-            self.output(out_text)
+            if self._handler is not None:
+                self._handler.output(out_text,
+                                     continuation=self._batch_outputs > 0)
+            else:
+                self.output(out_text)
+            self._batch_outputs += 1
             self.actions.run_all(self._ActionContext(
                 text=out_text, duration_secs=ready.duration_secs,
                 model=self.config.transcription.effective_model(),
@@ -843,7 +880,7 @@ def cmd_summarize(args: list[str]) -> int:
     from openhush_tpu.utils.config import Config
 
     config = Config.load_or_default()
-    template = "summary"
+    template = config.summarization.default_template or "summary"
     path = None
     it = iter(args)
     for a in it:
@@ -871,10 +908,13 @@ def cmd_summarize(args: list[str]) -> int:
     sc = config.summarization
     if sc.provider == "openai":
         from openhush_tpu.utils.secrets import resolve_secret
-        provider = OpenAiCompatProvider(url=sc.openai_url, model=sc.model,
-                                        api_key=resolve_secret(sc.api_key))
+        provider = OpenAiCompatProvider(url=sc.openai_url,
+                                        model=sc.openai_model,
+                                        api_key=resolve_secret(sc.api_key),
+                                        timeout_secs=sc.openai_timeout_secs)
     else:
-        provider = OllamaProvider(url=sc.ollama_url, model=sc.model)
+        provider = OllamaProvider(url=sc.ollama_url, model=sc.model,
+                                  timeout_secs=sc.ollama_timeout_secs)
     if not provider.is_available():
         print(f"Summarization provider '{sc.provider}' is not available",
               file=sys.stderr)

@@ -136,8 +136,15 @@ class PrefsServer:
                 self.wfile.write(body)
 
             def _tokened(self) -> bool:
-                q = parse_qs(urlparse(self.path).query)
-                if q.get("token", [""])[0] == ui.token:
+                # API calls authenticate via header (never logged in URLs,
+                # never in browser history); the query token stays
+                # accepted only so the initial page load from the printed
+                # URL works. Comparison is constant-time.
+                supplied = self.headers.get("X-OpenHush-Token", "")
+                if not supplied:
+                    q = parse_qs(urlparse(self.path).query)
+                    supplied = q.get("token", [""])[0]
+                if secrets.compare_digest(supplied, ui.token):
                     return True
                 self._send(403, {"ok": False, "error": "bad token"})
                 return False
@@ -265,7 +272,7 @@ button { padding: .45em 1.1em; margin: .3em .4em .3em 0; cursor: pointer; }
 
 _PREFS_JS = """
 const T = document.body.dataset.token;
-const api = (p, opt) => fetch(p + '?token=' + T, opt).then(r => r.json());
+const api = (p, opt) => fetch(p, Object.assign({headers: {'X-OpenHush-Token': T}}, opt, opt && opt.headers ? {headers: Object.assign({'X-OpenHush-Token': T}, opt.headers)} : {})).then(r => r.json());
 let CFG = {};
 function field(section, key, val) {
   const id = section + '.' + key;
@@ -330,7 +337,7 @@ document.getElementById('save').onclick = save;
 
 _WIZARD_JS = """
 const T = document.body.dataset.token;
-const api = (p, opt) => fetch(p + '?token=' + T, opt).then(r => r.json());
+const api = (p, opt) => fetch(p, Object.assign({headers: {'X-OpenHush-Token': T}}, opt, opt && opt.headers ? {headers: Object.assign({'X-OpenHush-Token': T}, opt.headers)} : {})).then(r => r.json());
 let step = 0, CFG = null;
 const steps = [...document.querySelectorAll('.step')];
 function show(i) { step = Math.max(0, Math.min(i, steps.length - 1));

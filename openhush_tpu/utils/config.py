@@ -75,10 +75,12 @@ class AudioConfig:
 @dataclasses.dataclass
 class QueueConfig:
     """Parity: queue section (src/config.rs:860-897): backpressure strategy
-    + auto-tuned chunk interval when <= 0."""
+    + auto-tuned chunk interval when <= 0. max_pending = 0 means
+    unlimited (reference semantics, config.example.toml [queue])."""
     max_pending: int = 10
     backpressure: str = "drop_oldest"   # drop_oldest|drop_newest|warn
     chunk_interval_secs: float = 0.0     # <=0 → auto-tune at startup
+    separator: str = " "                 # joiner between pasted chunks
 
 
 @dataclasses.dataclass
@@ -115,9 +117,26 @@ class ApiConfig:
 
 @dataclasses.dataclass
 class OutputConfig:
-    mode: str = "both"               # clipboard|paste|both
+    """The reference schema expresses output as two booleans
+    (config.example.toml [output] clipboard/paste); `mode` is the
+    derived form the handlers consume — from_dict keeps them in sync
+    whichever shape the file uses."""
+    mode: str = "both"               # clipboard|paste|both|none
     paste_method: str = "type"       # type|ctrl_v|xdotool
     actions: list = dataclasses.field(default_factory=list)  # action tables
+
+    def set_flags(self, clipboard: bool, paste: bool) -> None:
+        self.mode = {(True, True): "both", (True, False): "clipboard",
+                     (False, True): "paste",
+                     (False, False): "none"}[(clipboard, paste)]
+
+    @property
+    def clipboard(self) -> bool:
+        return self.mode in ("both", "clipboard")
+
+    @property
+    def paste(self) -> bool:
+        return self.mode in ("both", "paste")
 
 
 @dataclasses.dataclass
@@ -147,12 +166,62 @@ class TranslationSection:
 
 @dataclasses.dataclass
 class SummarizationConfig:
+    """Accepts both the flat repo shape and the reference's nested
+    [summarization.ollama]/[summarization.openai] tables +
+    default_provider/default_template keys (src/config.rs summarization
+    sections, config.example.toml:77-113)."""
+    enabled: bool = True
     provider: str = "ollama"         # ollama|openai
+    default_template: str = "meeting"
     ollama_url: str = "http://localhost:11434"
     model: str = "llama3.2:1b"
-    openai_url: str = "https://api.openai.com"
+    ollama_timeout_secs: float = 120.0
+    openai_url: str = "https://api.openai.com/v1"
+    openai_model: str = "gpt-4o-mini"
+    openai_timeout_secs: float = 120.0
     api_key: str = ""                # or keyring:NAME indirection
     templates_path: str = ""
+
+    def absorb_reference_keys(self, raw: dict) -> dict:
+        """Map reference-schema keys/subtables onto this shape; returns
+        the keys it consumed."""
+        used = {}
+        if "default_provider" in raw:
+            self.provider = used["default_provider"] = raw[
+                "default_provider"]
+        oll = raw.get("ollama")
+        if isinstance(oll, dict):
+            used["ollama"] = oll
+            self.ollama_url = oll.get("url", self.ollama_url)
+            self.model = oll.get("model", self.model)
+            self.ollama_timeout_secs = float(
+                oll.get("timeout_secs", self.ollama_timeout_secs))
+        oai = raw.get("openai")
+        if isinstance(oai, dict):
+            used["openai"] = oai
+            self.api_key = oai.get("api_key", self.api_key)
+            self.openai_model = oai.get("model", self.openai_model)
+            self.openai_url = oai.get("base_url", self.openai_url)
+            self.openai_timeout_secs = float(
+                oai.get("timeout_secs", self.openai_timeout_secs))
+        return used
+
+
+@dataclasses.dataclass
+class GpuConfig:
+    """Parity: [gpu] section (src/config.rs:899-908) — accepted and
+    persisted; on a TPU host `devices` selects visible TPU chips when
+    non-empty (the reference never consumes it at all)."""
+    auto_detect: bool = True
+    devices: list = dataclasses.field(default_factory=list)
+
+
+@dataclasses.dataclass
+class FeedbackConfig:
+    """Parity: [feedback] section (config.example.toml:51-57) — beep /
+    desktop notification on recording start/stop."""
+    audio: bool = True
+    visual: bool = True
 
 
 @dataclasses.dataclass
@@ -181,6 +250,9 @@ class Config:
         default_factory=TranslationSection)
     summarization: SummarizationConfig = dataclasses.field(
         default_factory=SummarizationConfig)
+    gpu: GpuConfig = dataclasses.field(default_factory=GpuConfig)
+    feedback: FeedbackConfig = dataclasses.field(
+        default_factory=FeedbackConfig)
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
     # Per-app overrides (parity: AppProfile list, src/config.rs:223-263):
     # [[profiles]] name / app_match / vocabulary_path / filler_mode / preset.
@@ -198,6 +270,11 @@ class Config:
             raw = tomllib.load(f)
         return cls.from_dict(raw)
 
+    # Reference-schema key aliases (src/config.rs field names) → ours.
+    _ALIASES = {
+        "correction": {"ollama_model": "model"},
+    }
+
     @classmethod
     def from_dict(cls, raw: dict) -> "Config":
         cfg = cls()
@@ -208,12 +285,26 @@ class Config:
                 cfg.profiles = value
             elif section in known and isinstance(value, dict):
                 target = getattr(cfg, section)
+                if section == "summarization":
+                    value = dict(value)
+                    for k in target.absorb_reference_keys(value):
+                        value.pop(k)
                 field_names = {f.name for f in dataclasses.fields(target)}
+                aliases = cls._ALIASES.get(section, {})
+                out_flags = {}
                 for k, v in value.items():
-                    if k in field_names:
+                    if section == "output" and k in ("clipboard", "paste"):
+                        out_flags[k] = bool(v)
+                    elif k in field_names:
                         setattr(target, k, v)
+                    elif k in aliases:
+                        setattr(target, aliases[k], v)
                     else:
                         cfg.extra.setdefault(section, {})[k] = v
+                if out_flags:
+                    target.set_flags(
+                        out_flags.get("clipboard", target.clipboard),
+                        out_flags.get("paste", target.paste))
             else:
                 cfg.extra[section] = value
         return cfg
@@ -255,8 +346,8 @@ class Config:
             errors.append(f"unknown preset {self.transcription.preset!r}")
         if not 0.0 <= self.vad.threshold <= 1.0:
             errors.append("vad.threshold must be in [0, 1]")
-        if self.queue.max_pending < 1:
-            errors.append("queue.max_pending must be >= 1")
+        if self.queue.max_pending < 0:
+            errors.append("queue.max_pending must be >= 0 (0 = unlimited)")
         if self.queue.backpressure not in ("drop_oldest", "drop_newest",
                                            "warn"):
             errors.append(

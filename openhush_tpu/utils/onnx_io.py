@@ -203,7 +203,12 @@ def _parse_tensor(mv: memoryview) -> OnnxTensor:
     elif ints64:
         arr = np.asarray(ints64, np.int64).reshape(shape)
     elif ints32:
-        arr = np.asarray(ints32, dtype).reshape(shape)
+        if data_type == 10:  # float16 stored as uint16 bit patterns in
+            # int32_data (ONNX spec): reinterpret, don't convert
+            arr = (np.asarray(ints32, np.int32).astype(np.uint16)
+                   .view(np.float16).reshape(shape))
+        else:
+            arr = np.asarray(ints32, dtype).reshape(shape)
     else:
         arr = np.zeros(shape, dtype)
     return OnnxTensor(name, arr)

@@ -127,3 +127,20 @@ def test_transcribe_multiple_files_batch(tmp_path):
     data = json.loads(payload)
     assert len(data) == 3
     assert all("file" in d and "real_time_factor" in d for d in data)
+
+
+def test_model_name_traversal_rejected(tmp_path, monkeypatch):
+    """`model remove/download` must refuse names that escape the model
+    dir (ADVICE r2: '../..' drove rmtree outside it)."""
+    from openhush_tpu import cli
+
+    monkeypatch.setenv("OPENHUSH_MODEL_DIR", str(tmp_path))
+    victim = tmp_path.parent / "victim"
+    victim.mkdir(exist_ok=True)
+    (victim / "keep.txt").write_text("x")
+    for bad in ("../../victim", "..", "a/b", "a\\b", "hf/../x"):
+        assert cli.main(["model", "remove", bad]) == 1
+        assert cli.main(["model", "download", bad]) == 1
+    assert (victim / "keep.txt").exists()
+    assert cli._safe_model_name("large-v3")
+    assert cli._safe_model_name("large-v3-turbo")

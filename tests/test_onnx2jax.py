@@ -319,3 +319,26 @@ def test_conv_stack_jits_token_exact(tmp_path):
     x = RNG.standard_normal((2, 1, 64)).astype(np.float32)
     np.testing.assert_allclose(np.asarray(m(x)), np.asarray(m.jitted(x)),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_fp16_int32_data_bit_patterns():
+    """TensorProto float16 stored in int32_data (field 5) carries uint16
+    BIT PATTERNS per the ONNX spec — the reader must reinterpret, not
+    numerically convert (ADVICE r2: numeric conversion corrupts fp16
+    checkpoints that don't use raw_data)."""
+    import numpy as np
+
+    from openhush_tpu.utils import onnx_io
+
+    vals = np.asarray([1.5, -2.25, 0.0, 3.0e-5], np.float16)
+    bits = vals.view(np.uint16)
+    payload = b"".join(onnx_io._varint(int(b)) for b in bits)
+    blob = (
+        onnx_io._tag(1, 0) + onnx_io._varint(4)          # dims: [4]
+        + onnx_io._tag(2, 0) + onnx_io._varint(10)       # data_type fp16
+        + onnx_io._len_field(5, payload)                  # int32_data
+        + onnx_io._str_field(8, "w")                      # name
+    )
+    t = onnx_io._parse_tensor(memoryview(blob))
+    assert t.array.dtype == np.float16
+    np.testing.assert_array_equal(t.array, vals)

@@ -131,3 +131,47 @@ def test_engine_incompatible_draft_degrades_gracefully():
     rng = np.random.default_rng(2)
     audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
     assert eng.transcribe(audio) is not None  # plain path still works
+
+
+@pytest.mark.slow
+def test_long_prompt_max_length_exact(setup):
+    """ADVICE r2 regression: with a long prev-context prompt and a
+    max-length decode, block writes reach prompt+max_new+K-2; the cache
+    must be sized past n_text_ctx so dynamic_update_slice never clamps
+    (a clamped start silently overwrites earlier KV and breaks greedy
+    exactness at the tail). EOT is suppressed so rows actually run to
+    max_new, replicating the worst case (prompt 228, max_new 219, K=5:
+    452 > n_text_ctx 448)."""
+    params, dparams, tok, feats = setup
+    feats = feats[:1]
+    xkv = whisper.compute_cross_kv(CFG, params, feats)
+    dxkv = whisper.compute_cross_kv(DRAFT_CFG, dparams, feats)
+    opts = decoding.DecodingOptions(without_timestamps=True)
+    sot = tok.sot_sequence("en", "transcribe", timestamps=False)
+    rng = np.random.default_rng(3)
+    prev = rng.integers(100, 5000, 228 - len(sot)).tolist()
+    prompt = prev + sot
+    k_spec = 5
+    max_new = CFG.n_text_ctx - len(prompt) - 1          # 219
+    suppress = np.asarray(decoding.build_suppress_mask(tok, CFG, opts))
+    suppress[tok.special.eot] = True                    # force full length
+    suppress = jnp.asarray(suppress)
+    parr = jnp.asarray(np.asarray(prompt, np.int32)[None, :])
+    blank = tok.encode(" ")[0]
+    common = dict(prompt_len=len(prompt), max_new=max_new,
+                  use_timestamps=False, suppress_blank=True,
+                  max_initial_index=50, blank_token=int(blank))
+    # The exact sizing decode_speculative now uses (no n_text_ctx min).
+    cache_len = ((len(prompt) + max_new + k_spec + 63) // 64) * 64
+    assert cache_len >= len(prompt) + max_new + k_spec
+    g_cache = whisper.init_kv_cache(CFG, 1, max_len=cache_len)
+    g = decoding.greedy_loop(CFG, params, xkv, g_cache, parr, suppress,
+                             jnp.float32(0.0), jax.random.PRNGKey(0),
+                             **common)
+    s_cache = whisper.init_kv_cache(CFG, 1, max_len=cache_len)
+    d_cache = whisper.init_kv_cache(DRAFT_CFG, 1, max_len=cache_len)
+    s = speculative_greedy_loop(CFG, params, DRAFT_CFG, dparams, xkv,
+                                dxkv, s_cache, d_cache, parr, suppress,
+                                k_spec=k_spec, **common)
+    np.testing.assert_array_equal(np.asarray(g[0]), np.asarray(s[0]))
+    assert int(np.asarray(g[2])[0]) == max_new

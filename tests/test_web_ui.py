@@ -98,3 +98,29 @@ def test_hotkey_validation(ui):
     assert _post(ui, "/api/hotkey", {"key": "f12"})["ok"]
     r = _post(ui, "/api/hotkey", {"key": "not a key!!"})
     assert not r["ok"] and r["error"]
+
+
+def test_header_token_auth(ui):
+    """API calls authenticate via the X-OpenHush-Token header (the query
+    token is only for the initial page load, so the credential stays out
+    of URLs / history)."""
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{ui.port}/api/config",
+        headers={"X-OpenHush-Token": ui.token})
+    with urllib.request.urlopen(req, timeout=10) as r:
+        assert "config" in json.loads(r.read())
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{ui.port}/api/config",
+        headers={"X-OpenHush-Token": "wrong"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 403
+
+
+def test_served_js_uses_header_auth(ui):
+    """The pages' fetch helper must send the token as a header, not a
+    query param."""
+    for page in ("/", "/wizard"):
+        html = _get(ui, page, parse=False)
+        assert "X-OpenHush-Token" in html
+        assert "?token=" not in html.split("<script>", 1)[-1]

@@ -175,3 +175,19 @@ def test_quantized_cross_kv_matches_fp(pair):
     pq = np.asarray(jax.nn.softmax(lq[..., :TEST_VOCAB], -1))
     assert np.abs(pf - pq).max() < 5e-3
     np.testing.assert_array_equal(pf.argmax(-1), pq.argmax(-1))
+
+
+def test_flash_block_env_guard(monkeypatch):
+    """OPENHUSH_FLASH_BLOCK=0 / junk must not crash the encoder trace
+    (ADVICE r2: blk<=0 div-by-zero)."""
+    from openhush_tpu.models.whisper.model import _flash_block
+
+    for bad in ("0", "-4", "notanumber", ""):
+        monkeypatch.setenv("OPENHUSH_FLASH_BLOCK", bad)
+        blk = _flash_block(1536)
+        assert 1536 % blk == 0 and blk >= 1
+    monkeypatch.setenv("OPENHUSH_FLASH_BLOCK", "512")
+    assert _flash_block(1536) == 512
+    monkeypatch.setenv("OPENHUSH_FLASH_BLOCK", "1536")
+    assert _flash_block(1536) == 1536
+    assert _flash_block(1024) == 1024
