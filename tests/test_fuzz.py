@@ -2,17 +2,31 @@
 the reference's cargo-fuzz targets (fuzz/fuzz_targets/: audio_processing,
 audio_validation, config_parse, ring_buffer interleavings; SURVEY.md §4)."""
 
+import os
+
 import numpy as np
 import pytest
 
 N_ITER = 60
 
+# Randomized nightly lane (parity role: the reference's open-ended
+# libFuzzer runs, fuzz/Cargo.toml): the PR lane runs ONE fixed-seed round
+# (deterministic); nightly CI sets OPENHUSH_FUZZ_SEED=$(epoch) and
+# OPENHUSH_FUZZ_ROUNDS=N so every target sweeps N rotating seeds.
+_BASE_SEED = int(os.environ.get("OPENHUSH_FUZZ_SEED", "0"))
+_ROUNDS = int(os.environ.get("OPENHUSH_FUZZ_ROUNDS", "1"))
 
-def test_fuzz_audio_processing_chain():
+
+@pytest.fixture(params=range(_ROUNDS))
+def fuzz_seed(request):
+    return _BASE_SEED + request.param * 1000003
+
+
+def test_fuzz_audio_processing_chain(fuzz_seed):
     """Random sample buffers × random DSP op sequences must stay finite
     and shape-preserving (parity: audio_processing fuzz target)."""
     from openhush_tpu.ops import dsp
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(fuzz_seed)
     for i in range(N_ITER // 3):
         n = int(rng.integers(1, 50_000))
         scale = float(10 ** rng.uniform(-6, 2))
@@ -40,12 +54,12 @@ def test_fuzz_audio_processing_chain():
             assert np.isfinite(y).all(), f"non-finite after op {op}"
 
 
-def test_fuzz_audio_validation():
+def test_fuzz_audio_validation(fuzz_seed):
     """Edge-case buffers at the device-dispatch guard (parity:
     audio_validation fuzz target)."""
     from openhush_tpu.runtime.validation import (AudioValidationError,
                                                  validate_audio)
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(fuzz_seed + 1)
     specials = [np.nan, np.inf, -np.inf, 0.0, 1e38, -1e38, 1e-38]
     for _ in range(N_ITER):
         n = int(rng.integers(0, 20_000))
@@ -66,11 +80,11 @@ def test_fuzz_audio_validation():
             pytest.fail("validation crashed on rate=0")
 
 
-def test_fuzz_config_parse(tmp_path):
+def test_fuzz_config_parse(tmp_path, fuzz_seed):
     """Malformed TOML must never crash Config loading (parity:
     config_parse fuzz target)."""
     from openhush_tpu.utils.config import Config
-    rng = np.random.default_rng(2)
+    rng = np.random.default_rng(fuzz_seed + 2)
     corpus = [
         b"", b"[", b"]", b"[transcription", b"key=", b"= value",
         b"[transcription]\nmodel = 5\n",
@@ -105,12 +119,12 @@ def test_fuzz_config_parse(tmp_path):
                                   UnicodeDecodeError, TypeError))
 
 
-def test_fuzz_ring_buffer_interleavings():
+def test_fuzz_ring_buffer_interleavings(fuzz_seed):
     """Random push/mark/extract interleavings: any extract of a span that
     was never overwritten must return exactly what was pushed (parity:
     ring_buffer fuzz target)."""
     from openhush_tpu.runtime.ring_buffer import RingBuffer
-    rng = np.random.default_rng(3)
+    rng = np.random.default_rng(fuzz_seed + 3)
     for trial in range(6):
         rb = RingBuffer(duration_secs=0.02,
                         prefer_native=bool(trial % 2))
@@ -139,11 +153,11 @@ def test_fuzz_ring_buffer_interleavings():
                     assert len(out) == cap
 
 
-def test_fuzz_tokenizer_roundtrip():
+def test_fuzz_tokenizer_roundtrip(fuzz_seed):
     """Random unicode → encode → decode must round-trip (byte fallback)."""
     from openhush_tpu.text.tokenizer import WhisperTokenizer
     tok = WhisperTokenizer(99)
-    rng = np.random.default_rng(4)
+    rng = np.random.default_rng(fuzz_seed + 4)
     for _ in range(N_ITER):
         n = int(rng.integers(0, 50))
         cps = rng.integers(1, 0x2FFF, size=n)
@@ -151,10 +165,10 @@ def test_fuzz_tokenizer_roundtrip():
         assert tok.decode(tok.encode(s)) == s
 
 
-def test_fuzz_sentence_buffer_never_loses_text():
+def test_fuzz_sentence_buffer_never_loses_text(fuzz_seed):
     """All non-whitespace input eventually comes out (add* + flush)."""
     from openhush_tpu.text.sentence_buffer import SentenceBuffer
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(fuzz_seed + 5)
     words = ["hello", "world.", "what?", "ok!", "…", "a" * 300, '"quote."']
     for _ in range(20):
         buf = SentenceBuffer(max_buffer=128)
@@ -171,7 +185,7 @@ def test_fuzz_sentence_buffer_never_loses_text():
             "".join("".join(got).split())
 
 
-def test_fuzz_dbus_marshal_roundtrip():
+def test_fuzz_dbus_marshal_roundtrip(fuzz_seed):
     """Random values for random signatures must marshal → unmarshal
     identically (the container marshaller carries SNI/dbusmenu payloads;
     mirrors the reference's fuzz posture on its wire surfaces)."""
@@ -179,7 +193,7 @@ def test_fuzz_dbus_marshal_roundtrip():
 
     from openhush_tpu.utils import dbus as wire
 
-    rng = random.Random(1234)
+    rng = random.Random(fuzz_seed + 1234)
     basic = "ybnqiuxtdsog"
 
     def rand_sig(depth=0):

@@ -47,7 +47,10 @@ def main(model: str = "large-v3-turbo", n: int = 100,
         time.sleep(0.01)
     wall = time.monotonic() - t0
     server.stop()
-    print(f"soak: {done}/{n} windows in {wall:.1f}s")
+    audio_secs = done * 5.0
+    print(f"soak: {done}/{n} windows in {wall:.1f}s "
+          f"({done / wall:.2f} windows/s, "
+          f"{audio_secs / wall:.1f}x realtime sustained)")
     if done != n:
         sys.exit(1)
 
