@@ -75,24 +75,62 @@ class SlotState(NamedTuple):
     prevprev_tok: jax.Array  # [B] int32
     rep_count: jax.Array     # [B] int32 consecutive short-cycle repeats
     degenerate: jax.Array    # [B] bool — aborted by the repetition guard
+    # Speculative serving (init_state(draft_cfg=...)): per-slot DRAFT
+    # decoder state — self-cache + int8 cross-KV of the shallow draft
+    # model that proposes K-token blocks for spec_step. [1,1,1,1]
+    # placeholders when speculation is off.
+    d_cache_k: jax.Array     # [Ld, B, T, H*Dh] draft self-cache
+    d_cache_v: jax.Array
+    d_xkv_k: jax.Array       # int8 [Ld, B, A, H*Dh] draft cross-KV
+    d_xkv_ks: jax.Array
+    d_xkv_v: jax.Array
+    d_xkv_vs: jax.Array
+
+
+# Extra rows past the logical decode budget when speculation is on: the
+# verify pass writes K-token blocks at per-row offsets, and
+# dynamic_update_slice clamps start indices — without headroom a block
+# write at the budget edge would silently corrupt earlier KV entries.
+SPEC_MARGIN = 16
 
 
 def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
                int8_self_cache: bool = False,
                max_len: Optional[int] = None,
-               audio_ctx: Optional[int] = None) -> SlotState:
+               audio_ctx: Optional[int] = None,
+               draft_cfg: Optional[WhisperConfig] = None) -> SlotState:
     """audio_ctx < n_audio_ctx restricts the encoder context (whisper.cpp's
     audio_ctx speed knob): streaming daemons with short chunks size slots
-    to ~chunk_secs*50*1.3, cutting the per-step cross-KV read 3-4x."""
+    to ~chunk_secs*50*1.3, cutting the per-step cross-KV read 3-4x.
+
+    draft_cfg: allocate draft-model state for speculative serving
+    (spec_step). The draft must share the big model's width and vocab
+    (the large-v3 / large-v3-turbo relationship); caches get SPEC_MARGIN
+    extra rows so K-block writes never clamp."""
     B = n_slots
     L, H = cfg.n_text_layer, cfg.n_text_head
     Dh = cfg.n_text_state // H
     T = max_len or cfg.n_text_ctx
+    if draft_cfg is not None:
+        T += SPEC_MARGIN
     A = audio_ctx or cfg.n_audio_ctx
     sp = WhisperTokenizer(cfg.n_langs).special
     cache_dtype = jnp.int8 if int8_self_cache else dtype
     sshape = (L, B, T, H) if int8_self_cache else (L, B, 1, 1)
+    if draft_cfg is not None:
+        Ld = draft_cfg.n_text_layer
+        dshape = (Ld, B, T, H * Dh)
+        dxshape = (Ld, B, A, H * Dh)
+        dsshape = (Ld, B, A, H)
+    else:
+        dshape = dxshape = dsshape = (1, 1, 1, 1)
     return SlotState(
+        d_cache_k=jnp.zeros(dshape, dtype),
+        d_cache_v=jnp.zeros(dshape, dtype),
+        d_xkv_k=jnp.zeros(dxshape, jnp.int8),
+        d_xkv_ks=jnp.zeros(dsshape, jnp.float32),
+        d_xkv_v=jnp.zeros(dxshape, jnp.int8),
+        d_xkv_vs=jnp.zeros(dsshape, jnp.float32),
         cache_k=jnp.zeros((L, B, T, H * Dh), cache_dtype),
         cache_v=jnp.zeros((L, B, T, H * Dh), cache_dtype),
         cache_ks=jnp.zeros(sshape, jnp.float32),
@@ -167,14 +205,19 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
           use_timestamps: jax.Array, *, prompt_len: int,
           temperature: Optional[jax.Array] = None,
           rng: Optional[jax.Array] = None,
-          row: Optional[jax.Array] = None) -> SlotState:
+          row: Optional[jax.Array] = None,
+          draft_cfg: Optional[WhisperConfig] = None,
+          draft_params=None,
+          draft_xkv: Optional[whisper.QuantKVCache] = None) -> SlotState:
     """Install a session into `slot` and prefill its prompt.
 
     new_xkv: quantized cross-KV ([L, k, A, H*Dh] int8 + [L, k, A, H]
     scales, flat layout) — `row` picks which of the k prepared windows to
     install (the prep path encodes joiners in batches; k=1, row=0 is the
     single-window case). prompt: [1, prompt_len]. temperature > 0
-    switches the row to sampling with `rng` (the fallback ladder)."""
+    switches the row to sampling with `rng` (the fallback ladder).
+    draft_*: speculative serving — also install the draft model's
+    cross-KV for this window and prefill its per-slot cache."""
     donated, kept = _pack(state)
     if temperature is None:
         temperature = jnp.float32(0.0)
@@ -182,7 +225,8 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
         rng = jnp.zeros((2,), jnp.uint32)
     if row is None:
         row = jnp.int32(0)
-    return _admit_impl(cfg, params, donated, kept, slot, new_xkv, prompt,
+    return _admit_impl(cfg, params, draft_cfg, draft_params, donated,
+                       kept, slot, new_xkv, draft_xkv, prompt,
                        use_timestamps, temperature,
                        jnp.asarray(rng, jnp.uint32).reshape(2),
                        jnp.int32(row), prompt_len=prompt_len)
@@ -191,13 +235,15 @@ def admit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
 def readmit(cfg: WhisperConfig, params, state: SlotState, slot: jax.Array,
             prompt: jax.Array, use_timestamps: jax.Array, *,
             prompt_len: int, temperature: jax.Array,
-            rng: jax.Array) -> SlotState:
+            rng: jax.Array,
+            draft_cfg: Optional[WhisperConfig] = None,
+            draft_params=None) -> SlotState:
     """Re-prefill `slot` from the cross-KV it ALREADY holds — the
     temperature-fallback retry path. No re-encode, no host-side xkv
     reference kept alive."""
     donated, kept = _pack(state)
-    return _readmit_impl(cfg, params, donated, kept, slot, prompt,
-                         use_timestamps, temperature,
+    return _readmit_impl(cfg, params, draft_cfg, draft_params, donated,
+                         kept, slot, prompt, use_timestamps, temperature,
                          jnp.asarray(rng, jnp.uint32).reshape(2),
                          prompt_len=prompt_len)
 
@@ -206,10 +252,12 @@ def _prefill_row(cfg: WhisperConfig, params, state: SlotState,
                  slot: jax.Array, row_xkv: whisper.QuantKVCache,
                  prompt: jax.Array, use_timestamps: jax.Array,
                  temperature: jax.Array, rng: jax.Array,
-                 prompt_len: int) -> SlotState:
+                 prompt_len: int, draft_cfg=None,
+                 draft_params=None) -> SlotState:
     """Traced tail shared by admit/readmit: zero the slot's self-cache,
     prefill the prompt against row_xkv, reset every per-slot scalar.
-    Expects state.xkv_* to already hold the row's cross-KV."""
+    Expects state.xkv_* (and d_xkv_* in speculative mode) to already
+    hold the row's cross-KV."""
     sp = WhisperTokenizer(cfg.n_langs).special
     T = state.tokens.shape[1]
     quant_self = state.cache_k.dtype == jnp.int8
@@ -246,6 +294,21 @@ def _prefill_row(cfg: WhisperConfig, params, state: SlotState,
         cache_vs = put_row(cache_vs, row_cache.v_scale)
     sot_probs = jax.nn.softmax(logits[:, 0].astype(jnp.float32), -1)
 
+    d_cache_k, d_cache_v = state.d_cache_k, state.d_cache_v
+    if draft_cfg is not None:
+        # Draft prefill: the draft decoder tracks the big model's cache
+        # fill token-for-token (spec_step keeps both at pos-1).
+        d_cache_k = zero_slot(d_cache_k)
+        d_cache_v = zero_slot(d_cache_v)
+        drow_xkv = whisper.QuantKVCache(
+            row_of(state.d_xkv_k), row_of(state.d_xkv_ks),
+            row_of(state.d_xkv_v), row_of(state.d_xkv_vs))
+        drow_cache = whisper.KVCache(row_of(d_cache_k), row_of(d_cache_v))
+        _, drow_cache = whisper.decode(draft_cfg, draft_params, prompt,
+                                       jnp.int32(0), drow_cache, drow_xkv)
+        d_cache_k = put_row(d_cache_k, drow_cache.k)
+        d_cache_v = put_row(d_cache_v, drow_cache.v)
+
     tokens_row = jnp.full((1, T), sp.eot, jnp.int32)
     tokens_row = jax.lax.dynamic_update_slice(tokens_row, prompt, (0, 0))
     set1 = lambda a, v: jax.lax.dynamic_update_slice(
@@ -253,6 +316,7 @@ def _prefill_row(cfg: WhisperConfig, params, state: SlotState,
     return state._replace(
         cache_k=cache_k, cache_v=cache_v,
         cache_ks=cache_ks, cache_vs=cache_vs,
+        d_cache_k=d_cache_k, d_cache_v=d_cache_v,
         tokens=jax.lax.dynamic_update_slice(state.tokens, tokens_row,
                                             (slot, 0)),
         pos=set1(state.pos, jnp.int32(prompt_len)),
@@ -277,10 +341,13 @@ def _prefill_row(cfg: WhisperConfig, params, state: SlotState,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
-                   donate_argnums=(2,))
-def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
-                new_xkv: whisper.QuantKVCache, prompt: jax.Array,
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "draft_cfg", "prompt_len"),
+                   donate_argnums=(4,))
+def _admit_impl(cfg: WhisperConfig, params, draft_cfg, draft_params,
+                donated, kept, slot: jax.Array,
+                new_xkv: whisper.QuantKVCache,
+                draft_xkv, prompt: jax.Array,
                 use_timestamps: jax.Array, temperature: jax.Array,
                 rng: jax.Array, row: jax.Array, *,
                 prompt_len: int) -> SlotState:
@@ -296,13 +363,25 @@ def _admit_impl(cfg: WhisperConfig, params, donated, kept, slot: jax.Array,
         xkv_ks=upd(state.xkv_ks, row_xkv.k_scale),
         xkv_v=upd(state.xkv_v, row_xkv.v),
         xkv_vs=upd(state.xkv_vs, row_xkv.v_scale))
+    if draft_cfg is not None:
+        drow = whisper.QuantKVCache(
+            pick(draft_xkv.k), pick(draft_xkv.k_scale),
+            pick(draft_xkv.v), pick(draft_xkv.v_scale))
+        state = state._replace(
+            d_xkv_k=upd(state.d_xkv_k, drow.k),
+            d_xkv_ks=upd(state.d_xkv_ks, drow.k_scale),
+            d_xkv_v=upd(state.d_xkv_v, drow.v),
+            d_xkv_vs=upd(state.d_xkv_vs, drow.v_scale))
     return _prefill_row(cfg, params, state, slot, row_xkv, prompt,
-                        use_timestamps, temperature, rng, prompt_len)
+                        use_timestamps, temperature, rng, prompt_len,
+                        draft_cfg=draft_cfg, draft_params=draft_params)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "prompt_len"),
-                   donate_argnums=(2,))
-def _readmit_impl(cfg: WhisperConfig, params, donated, kept,
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "draft_cfg", "prompt_len"),
+                   donate_argnums=(4,))
+def _readmit_impl(cfg: WhisperConfig, params, draft_cfg, draft_params,
+                  donated, kept,
                   slot: jax.Array, prompt: jax.Array,
                   use_timestamps: jax.Array, temperature: jax.Array,
                   rng: jax.Array, *, prompt_len: int) -> SlotState:
@@ -311,7 +390,43 @@ def _readmit_impl(cfg: WhisperConfig, params, donated, kept,
     row_xkv = whisper.QuantKVCache(pick(state.xkv_k), pick(state.xkv_ks),
                                    pick(state.xkv_v), pick(state.xkv_vs))
     return _prefill_row(cfg, params, state, slot, row_xkv, prompt,
-                        use_timestamps, temperature, rng, prompt_len)
+                        use_timestamps, temperature, rng, prompt_len,
+                        draft_cfg=draft_cfg, draft_params=draft_params)
+
+
+def _filter_logits(lg, *, suppress_mask, length, ts_state, use_ts, sp,
+                   ids, max_initial_index, blank_token):
+    """The per-step [B, V] filter stack shared by the greedy and
+    speculative step kernels (MUST stay identical — spec_step's
+    token-exactness guarantee is 'same filters, same argmax')."""
+    sp_consts = (sp.timestamp_begin, sp.eot)
+    lg = jnp.where(suppress_mask[None, :], NEG_INF, lg)
+    first = length == 0
+    blank_mask = (ids == blank_token) | (ids == sp.eot)
+    lg = jnp.where(first[:, None] & blank_mask[None, :], NEG_INF, lg)
+    lg_ts = decoding._timestamp_filter(lg, sp_consts, ts_state, length,
+                                       max_initial_index)
+    is_ts = ids[None, :] >= sp.timestamp_begin
+    lg = jnp.where(use_ts[:, None], lg_ts, lg)
+    no_ts_mask = use_ts[:, None] | ~is_ts
+    return jnp.where(no_ts_mask, lg, NEG_INF)
+
+
+def _choose_tokens(lg, temperature, rng):
+    """Greedy argmax, or per-row temperature sampling where temp > 0.
+    Returns (token [B] int32, advanced rng [B, 2], logprobs [B, V])."""
+    logprobs = jax.nn.log_softmax(lg, axis=-1)
+    greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+
+    def sample_row(key_data, row_logits, row_temp):
+        k1, k2 = jax.random.split(jax.random.wrap_key_data(key_data))
+        tok = jax.random.categorical(
+            k2, row_logits / jnp.maximum(row_temp, 1e-6))
+        return jax.random.key_data(k1), tok
+
+    new_rng, sampled = jax.vmap(sample_row)(rng, lg, temperature)
+    nxt = jnp.where(temperature > 0, sampled.astype(jnp.int32), greedy)
+    return nxt, new_rng, logprobs
 
 
 def step(cfg: WhisperConfig, params, state: SlotState,
@@ -346,34 +461,19 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
     ids = jnp.arange(V)
 
     def one_step(state, _):
-        lg = jnp.where(suppress_mask[None, :], NEG_INF, state.last_logits)
-        first = state.length == 0
-        blank_mask = (ids == blank_token) | (ids == eot)
-        lg = jnp.where(first[:, None] & blank_mask[None, :], NEG_INF, lg)
-
         ts_state = (state.ts_prev, state.ts_prevprev, state.ts_floor)
         # The filter takes per-row decode clocks directly (continuous
         # batching: each slot is at its own step).
-        lg_ts = decoding._timestamp_filter(
-            lg, sp_consts, ts_state, state.length, max_initial_index)
-        is_ts = ids[None, :] >= sp.timestamp_begin
-        lg = jnp.where(state.use_ts[:, None], lg_ts, lg)
-        no_ts_mask = state.use_ts[:, None] | ~is_ts
-        lg = jnp.where(no_ts_mask, lg, NEG_INF)  # suppress ts if disabled
-
-        logprobs = jax.nn.log_softmax(lg, axis=-1)
-        greedy = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        lg = _filter_logits(state.last_logits,
+                            suppress_mask=suppress_mask,
+                            length=state.length, ts_state=ts_state,
+                            use_ts=state.use_ts, sp=sp, ids=ids,
+                            max_initial_index=max_initial_index,
+                            blank_token=blank_token)
         # Per-row temperature sampling for the harvest-time fallback ladder
         # (whisper's retry-at-higher-temperature, engine one-shot parity).
-        def sample_row(key_data, row_logits, row_temp):
-            k1, k2 = jax.random.split(jax.random.wrap_key_data(key_data))
-            tok = jax.random.categorical(
-                k2, row_logits / jnp.maximum(row_temp, 1e-6))
-            return jax.random.key_data(k1), tok
-        new_rng, sampled = jax.vmap(sample_row)(state.rng, lg,
-                                                state.temperature)
-        sampled = sampled.astype(jnp.int32)
-        nxt = jnp.where(state.temperature > 0, sampled, greedy)
+        nxt, new_rng, logprobs = _choose_tokens(lg, state.temperature,
+                                                state.rng)
         live = state.active & ~state.finished
         nxt = jnp.where(live, nxt, eot)
         rng = jnp.where(live[:, None], new_rng, state.rng)
@@ -431,6 +531,211 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
             degenerate=degenerate), None
 
     state, _ = jax.lax.scan(one_step, state, None, length=inner_steps)
+    return state
+
+
+def spec_step(cfg: WhisperConfig, params, draft_cfg: WhisperConfig,
+              draft_params, state: SlotState, suppress_mask: jax.Array, *,
+              k_spec: int = 4, n_iters: int = 2, room_cap: int,
+              max_initial_index: int = 50, blank_token: int = 220,
+              rep_threshold: int = 12,
+              force_accept: bool = False) -> SlotState:
+    """Speculative twin of step(): advance every active slot by 1..k_spec
+    tokens per iteration (n_iters iterations per dispatch).
+
+    Each iteration the shared DRAFT decoder rolls k_spec proposals from
+    every row's tip, the big model verifies the block in ONE decode pass,
+    and each row accepts its big-model argmaxes until the first mismatch —
+    so the big model's weight + KV reads are amortized over up to k_spec
+    emitted tokens. Output is token-identical to step(): every emitted
+    token is the big model's filtered argmax (or its temperature sample
+    for ladder-retry rows, which accept exactly one token per iteration).
+
+    Invariant between iterations: the newest emitted token ("tip",
+    tokens[pos-1]) is NOT yet in either cache; cache fill == pos-1.
+    Freshly admitted rows (length==0, frontier logits in last_logits)
+    emit token #0 from last_logits first, entering the same invariant.
+
+    room_cap: the logical decode budget (= non-spec max_len - 1); caches
+    carry SPEC_MARGIN extra rows past it so K-block writes never clamp.
+
+    No counterpart in the reference (whisper.cpp decodes strictly
+    sequentially, src/engine/whisper.rs:204-305)."""
+    if k_spec + room_cap + 1 > state.tokens.shape[1]:
+        raise ValueError(
+            f"k_spec={k_spec} needs {k_spec + room_cap + 1} rows but the "
+            f"state has {state.tokens.shape[1]} (init_state(draft_cfg=...) "
+            f"adds SPEC_MARGIN={SPEC_MARGIN})")
+    donated, kept = _pack(state)
+    return _spec_step_impl(cfg, draft_cfg, params, draft_params, donated,
+                           kept, suppress_mask, k_spec=k_spec,
+                           n_iters=n_iters, room_cap=room_cap,
+                           max_initial_index=max_initial_index,
+                           blank_token=blank_token,
+                           rep_threshold=rep_threshold,
+                           force_accept=force_accept)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "draft_cfg", "k_spec", "n_iters", "room_cap",
+                     "max_initial_index", "blank_token", "rep_threshold",
+                     "force_accept"),
+    donate_argnums=(4,))
+def _spec_step_impl(cfg: WhisperConfig, draft_cfg: WhisperConfig, params,
+                    draft_params, donated, kept, suppress_mask, *,
+                    k_spec: int, n_iters: int, room_cap: int,
+                    max_initial_index: int, blank_token: int,
+                    rep_threshold: int,
+                    force_accept: bool = False) -> SlotState:
+    state = _unpack(donated, kept)
+    sp = WhisperTokenizer(cfg.n_langs).special
+    sp_consts = (sp.timestamp_begin, sp.eot)
+    eot = sp.eot
+    K = k_spec
+    B, _ = state.tokens.shape
+    V = state.last_logits.shape[1]
+    ids = jnp.arange(V)
+    filt = functools.partial(_filter_logits, suppress_mask=suppress_mask,
+                             sp=sp, ids=ids,
+                             max_initial_index=max_initial_index,
+                             blank_token=blank_token)
+
+    def write_window(tok_row, offset, vals, mask):
+        win = jax.lax.dynamic_slice(tok_row, (offset,), (K,))
+        return jax.lax.dynamic_update_slice(
+            tok_row, jnp.where(mask, vals, win), (offset,))
+
+    def emit_bookkeeping(c, nxt, tok_lp, emit, clock):
+        """Shared per-emitted-token state advance (ordering identical to
+        step()'s one_step, with `emit` in the role of `live`)."""
+        (ts, slp, length, pos, prev, prevprev, repc, deg, fin) = c
+        is_text = (nxt != eot) & (nxt < sp.timestamp_begin)
+        rep = emit & is_text & ((nxt == prev) | (nxt == prevprev))
+        repc = jnp.where(emit, jnp.where(rep, repc + 1, 0), repc)
+        deg_now = emit & (repc >= rep_threshold)
+        deg = deg | deg_now
+        prevprev = jnp.where(emit, prev, prevprev)
+        prev = jnp.where(emit, nxt, prev)
+        slp = slp + jnp.where(emit, tok_lp, 0.0)
+        length = length + jnp.where(emit, 1, 0)
+        new_ts = decoding._update_ts_state(ts, nxt, sp_consts, clock)
+        ts = jax.tree.map(lambda n, o: jnp.where(emit, n, o), new_ts, ts)
+        hit_eot = nxt == eot
+        out_of_room = pos >= room_cap
+        fin_now = emit & (hit_eot | out_of_room | deg_now)
+        fin = fin | fin_now
+        pos = pos + jnp.where(emit & ~fin_now, 1, 0)
+        return ((ts, slp, length, pos, prev, prevprev, repc, deg, fin),
+                deg_now, fin_now)
+
+    def iteration(state, _):
+        live = state.active & ~state.finished
+        ts_state = (state.ts_prev, state.ts_prevprev, state.ts_floor)
+
+        # --- fresh rows (length==0): emit token #0 from last_logits ----
+        lg0 = filt(state.last_logits, length=state.length,
+                   ts_state=ts_state, use_ts=state.use_ts)
+        nxt0, rng0, lp0 = _choose_tokens(lg0, state.temperature, state.rng)
+        fresh = live & (state.length == 0)
+        tok_lp0 = jnp.take_along_axis(lp0, nxt0[:, None], -1)[:, 0]
+        c = (ts_state, state.sum_logprob, state.length, state.pos,
+             state.prev_tok, state.prevprev_tok, state.rep_count,
+             state.degenerate, state.finished)
+        c, _, _ = emit_bookkeeping(c, nxt0, tok_lp0, fresh, state.length)
+        (ts_state, sum_lp, length, pos, prev, prevprev, repc, deg,
+         fin) = c
+        rng = jnp.where(fresh[:, None], rng0, state.rng)
+        # Fresh token written at the OLD pos (pos advanced inside
+        # bookkeeping for non-finishing rows).
+        tokens = jax.vmap(
+            lambda row, t, p, e: jnp.where(
+                e, jax.lax.dynamic_update_slice(row, t[None], (p,)), row))(
+            state.tokens, nxt0, state.pos, fresh)
+
+        # All live rows now satisfy the tip invariant.
+        live = state.active & ~fin
+        fill = jnp.maximum(pos - 1, 0)
+        tip = jnp.take_along_axis(tokens, fill[:, None], 1)[:, 0]
+
+        # --- draft: K sequential proposals from the tip ----------------
+        d_xkv = whisper.QuantKVCache(state.d_xkv_k, state.d_xkv_ks,
+                                     state.d_xkv_v, state.d_xkv_vs)
+
+        def draft_roll(carry, i):
+            cur, dts, dck, dcv = carry
+            lg, dcache = whisper.decode(
+                draft_cfg, draft_params, cur[:, None], fill + i,
+                whisper.KVCache(dck, dcv), d_xkv)
+            lgf = filt(lg[:, -1].astype(jnp.float32), length=length + i,
+                       ts_state=dts, use_ts=state.use_ts)
+            nxt = jnp.argmax(lgf, axis=-1).astype(jnp.int32)
+            dts = decoding._update_ts_state(dts, nxt, sp_consts,
+                                            length + i)
+            return (nxt, dts, dcache.k, dcache.v), nxt
+
+        (_, _, d_ck, d_cv), props = jax.lax.scan(
+            draft_roll, (tip, ts_state, state.d_cache_k, state.d_cache_v),
+            jnp.arange(K))
+        props = props.T                         # [B, K]
+
+        # --- big-model verify: ONE pass over [tip, p1..p_{K-1}] --------
+        block = jnp.concatenate([tip[:, None], props[:, :K - 1]], axis=1)
+        xkv = whisper.QuantKVCache(state.xkv_k, state.xkv_ks,
+                                   state.xkv_v, state.xkv_vs)
+        vlogits, cache = whisper.decode(cfg, params, block, fill,
+                                        _self_cache(state), xkv)
+        vlogits = vlogits.astype(jnp.float32)   # [B, K, V]
+
+        # --- sequential accept scan ([B, V] ops on present data),
+        # unrolled over the small static K --------------------------------
+        ok = jnp.ones(B, bool)
+        c = (ts_state, sum_lp, length, pos, prev, prevprev, repc, deg,
+             fin)
+        trues, emits = [], []
+        cur_rng = rng
+        for i in range(K):
+            ts_c, fin_c = c[0], c[8]
+            lg = filt(vlogits[:, i], length=length + i, ts_state=ts_c,
+                      use_ts=state.use_ts)
+            nxt, rng2, lps = _choose_tokens(lg, state.temperature,
+                                            cur_rng)
+            tok_lp = jnp.take_along_axis(lps, nxt[:, None], -1)[:, 0]
+            emit = ok & live & ~fin_c
+            cur_rng = jnp.where(emit[:, None], rng2, cur_rng)
+            c, deg_now, fin_now = emit_bookkeeping(c, nxt, tok_lp, emit,
+                                                   length + i)
+            # Chain continues only for greedy rows whose next fed token
+            # (the draft's proposal) matches the verified one and whose
+            # emission wasn't terminal.
+            cont = (emit & ~fin_now & (state.temperature == 0)
+                    & (nxt != eot))
+            if force_accept:
+                # BENCH-ONLY upper-bound mode (accept=1.0 endpoint):
+                # the chain never breaks on mismatch, so contexts diverge
+                # from greedy — never use outside throughput measurement.
+                ok = cont if i < K - 1 else jnp.zeros(B, bool)
+            else:
+                ok = (cont & (props[:, i] == nxt) if i < K - 1
+                      else jnp.zeros(B, bool))
+            trues.append(nxt)
+            emits.append(emit)
+        trues = jnp.stack(trues, axis=1)        # [B, K]
+        emits = jnp.stack(emits, axis=1)        # [B, K] bool
+        (ts_state, sum_lp, length2, pos2, prev, prevprev, repc, deg,
+         fin) = c
+
+        tokens = jax.vmap(write_window)(tokens, pos, trues, emits)
+
+        return state._replace(
+            **_cache_fields(cache), d_cache_k=d_ck, d_cache_v=d_cv,
+            tokens=tokens, pos=pos2, length=length2, sum_logprob=sum_lp,
+            finished=fin, degenerate=deg, rng=cur_rng,
+            prev_tok=prev, prevprev_tok=prevprev, rep_count=repc,
+            ts_prev=ts_state[0], ts_prevprev=ts_state[1],
+            ts_floor=ts_state[2]), None
+
+    state, _ = jax.lax.scan(iteration, state, None, length=n_iters)
     return state
 
 

@@ -211,7 +211,7 @@ class Daemon:
         self._vad_pos = 0
         self._stop_event = threading.Event()
         self._lock = threading.Lock()
-        self._ipc = ipc.IpcServer(self._handle_ipc, path=ipc_path)
+        self._ipc = ipc.create_server(self._handle_ipc, path=ipc_path)
         self._results_flushed = threading.Event()
 
     # -- recording control (parity: daemon.rs:1274-1308) ----------------------

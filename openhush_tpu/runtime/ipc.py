@@ -12,12 +12,23 @@ from __future__ import annotations
 import json
 import os
 import socket
+import sys
 import threading
 from typing import Callable, Optional
 
 COMMANDS = ("status", "stop", "load_model", "unload_model",
             "start_recording", "stop_recording", "toggle_recording",
             "start_continuous", "queue_depth", "version", "reload")
+
+
+def create_server(handler: Callable[[dict], dict],
+                  path: Optional[str] = None):
+    """Platform IPC server: Unix socket on POSIX, named pipe on Windows
+    (parity: src/ipc/mod.rs routes unix_socket.rs vs named_pipe.rs)."""
+    if sys.platform == "win32":  # pragma: no cover — Windows hosts only
+        from openhush_tpu.runtime.named_pipe import NamedPipeServer
+        return NamedPipeServer(handler, path=path)
+    return IpcServer(handler, path=path)
 
 
 def socket_path() -> str:
@@ -109,6 +120,12 @@ class IpcServer:
 
 
 class IpcClient:
+    def __new__(cls, path: Optional[str] = None, timeout: float = 10.0):
+        if sys.platform == "win32":  # pragma: no cover — Windows only
+            from openhush_tpu.runtime.named_pipe import NamedPipeClient
+            return NamedPipeClient(path=path, timeout=timeout)
+        return super().__new__(cls)
+
     def __init__(self, path: Optional[str] = None, timeout: float = 10.0):
         self.path = path or socket_path()
         self.timeout = timeout

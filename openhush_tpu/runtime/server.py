@@ -100,12 +100,32 @@ class EngineServer:
                  no_speech_threshold: float = 0.6,
                  rep_threshold: int = 12,
                  max_admissions_per_turn: int = 1,
-                 int8_self_cache: Optional[bool] = None):
+                 int8_self_cache: Optional[bool] = None,
+                 draft: Optional[tuple] = None,
+                 k_spec: int = 4):
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
         self.inner_steps = inner_steps
         self.tokenizer = tokenizer or WhisperTokenizer(cfg.n_langs)
+        # Speculative serving: draft=(draft_cfg, draft_params) switches
+        # the device loop to batcher.spec_step — the shared shallow draft
+        # proposes k_spec-token blocks, the big model verifies each in
+        # one pass (token-identical to the plain step; speed-only).
+        self.draft_cfg = self.draft_params = None
+        self.k_spec = max(2, int(k_spec))
+        if draft is not None:
+            dcfg, dparams = draft
+            compatible = (dcfg.n_text_state == cfg.n_text_state
+                          and dcfg.n_vocab == cfg.n_vocab
+                          and dcfg.n_text_head == cfg.n_text_head
+                          and dcfg.n_audio_state == cfg.n_audio_state)
+            if compatible:
+                self.draft_cfg, self.draft_params = dcfg, dparams
+            else:
+                log.warning("draft model %s incompatible with %s; "
+                            "speculative serving disabled",
+                            dcfg.name, cfg.name)
         # audio_ctx: whisper.cpp-style encoder-context restriction. A
         # streaming daemon with chunk_secs-long windows needs only
         # ~chunk_secs*50 encoder positions (+margin) — 3-4x less cross-KV
@@ -115,10 +135,12 @@ class EngineServer:
             import os
             int8_self_cache = os.environ.get(
                 "OPENHUSH_INT8_SELF_CACHE", "0") == "1"
+        self.room_cap = (max_decode_len or cfg.n_text_ctx) - 1
         self.state = batcher.init_state(cfg, n_slots, dtype=dtype,
                                         max_len=max_decode_len,
                                         audio_ctx=self.audio_ctx,
-                                        int8_self_cache=int8_self_cache)
+                                        int8_self_cache=int8_self_cache,
+                                        draft_cfg=self.draft_cfg)
         # Per-window preprocessing (denoise/normalize/compress/limit —
         # the reference worker's preprocess_audio, src/queue/worker.rs:196).
         self.preprocess = preprocess
@@ -146,13 +168,20 @@ class EngineServer:
         # B=1 encodes when several sessions join at once.
         n_frames = self.audio_ctx * 2
 
-        def _prep(p, windows):
+        def _prep(p, dp, windows):
             mel = jax.vmap(lambda a: frontend_pallas.log_mel(
                 a, n_mels=cfg.n_mels, n_frames=n_frames))(windows)
             feats = whisper.encode(cfg, p, mel.astype(self._act_dtype))
             xkv = whisper.compute_cross_kv_quant(cfg, p, feats)
             lang_probs = decoding.detect_language_logits(cfg, p, xkv)
-            return xkv, lang_probs
+            if self.draft_cfg is not None:
+                # The draft shares the big model's ENCODER: its cross-KV
+                # is just a second projection of the same features.
+                dxkv = whisper.compute_cross_kv_quant(self.draft_cfg, dp,
+                                                      feats)
+            else:
+                dxkv = None
+            return xkv, lang_probs, dxkv
 
         self._prep_fn = jax.jit(_prep)
         self._prep_buckets = tuple(
@@ -297,11 +326,24 @@ class EngineServer:
         with self._lock:
             any_active = bool(self._slots)
         if any_active:
-            self.state = batcher.step(
-                self.cfg, self.params, self.state, self._suppress,
-                inner_steps=self.inner_steps,
-                blank_token=self._blank_token,
-                rep_threshold=self.rep_threshold)
+            if self.draft_cfg is not None:
+                import os
+                self.state = batcher.spec_step(
+                    self.cfg, self.params, self.draft_cfg,
+                    self.draft_params, self.state, self._suppress,
+                    k_spec=self.k_spec,
+                    n_iters=max(1, self.inner_steps // self.k_spec),
+                    room_cap=self.room_cap,
+                    blank_token=self._blank_token,
+                    rep_threshold=self.rep_threshold,
+                    force_accept=os.environ.get(
+                        "OPENHUSH_SPEC_FORCE_ACCEPT") == "1")
+            else:
+                self.state = batcher.step(
+                    self.cfg, self.params, self.state, self._suppress,
+                    inner_steps=self.inner_steps,
+                    blank_token=self._blank_token,
+                    rep_threshold=self.rep_threshold)
             self._harvest()
             worked = True
         return worked
@@ -328,10 +370,10 @@ class EngineServer:
             if budget <= 0:
                 break
             try:
-                job, info, xkv, row = self._ready.get_nowait()
+                job, info, xkv, row, dxkv = self._ready.get_nowait()
             except queue.Empty:
                 break
-            self._install(slot, info, xkv=xkv, row=row)
+            self._install(slot, info, xkv=xkv, row=row, dxkv=dxkv)
             admitted = True
             budget -= 1
             log.debug("admitted session %d window %d into slot %d",
@@ -358,7 +400,9 @@ class EngineServer:
                                 e)
             n = min(len(job.audio), n_samples)
             windows[j, :n] = job.audio[:n]
-        xkv, lang_probs = self._prep_fn(self.params, jnp.asarray(windows))
+        xkv, lang_probs, dxkv = self._prep_fn(self.params,
+                                              self.draft_params,
+                                              jnp.asarray(windows))
 
         need_detect = any(j.language in ("auto", "", None) for j in jobs)
         if need_detect:
@@ -372,10 +416,10 @@ class EngineServer:
                              job.submitted_at, time.monotonic(),
                              language=language, task=job.task,
                              timestamps=job.timestamps, temp_idx=0)
-            self._ready.put((job, info, xkv, j))
+            self._ready.put((job, info, xkv, j, dxkv))
 
     def _install(self, slot: int, info: _SlotInfo, xkv=None,
-                 row: int = 0) -> None:
+                 row: int = 0, dxkv=None) -> None:
         """Prefill `slot` at the ladder temperature info.temp_idx: from a
         prepared batched cross-KV (first install, `xkv` row `row`) or
         from the slot's own device copy (retry, batcher.readmit)."""
@@ -394,14 +438,18 @@ class EngineServer:
                 jnp.asarray([prompt], jnp.int32),
                 jnp.asarray(info.timestamps),
                 prompt_len=len(prompt), temperature=jnp.float32(temp),
-                rng=jnp.asarray(rng), row=jnp.int32(row))
+                rng=jnp.asarray(rng), row=jnp.int32(row),
+                draft_cfg=self.draft_cfg, draft_params=self.draft_params,
+                draft_xkv=dxkv)
         else:
             self.state = batcher.readmit(
                 self.cfg, self.params, self.state, jnp.int32(slot),
                 jnp.asarray([prompt], jnp.int32),
                 jnp.asarray(info.timestamps),
                 prompt_len=len(prompt), temperature=jnp.float32(temp),
-                rng=jnp.asarray(rng))
+                rng=jnp.asarray(rng),
+                draft_cfg=self.draft_cfg,
+                draft_params=self.draft_params)
         with self._lock:
             self._slots[slot] = info
 

@@ -112,6 +112,59 @@ class PrefsServer:
         except (ConnectionError, OSError):
             return False
 
+    @classmethod
+    def start_daemon(cls) -> dict:
+        """Spawn the daemon unless one is already running."""
+        import subprocess
+        import sys
+        if cls.daemon_running():
+            return {"ok": True, "message": "already running"}
+        try:
+            subprocess.Popen(
+                [sys.executable, "-m", "openhush_tpu.cli", "start"],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL, start_new_session=True)
+            return {"ok": True, "message": "daemon starting"}
+        except OSError as e:
+            return {"ok": False, "error": str(e)}
+
+    @classmethod
+    def wizard_finish(cls, form: dict) -> dict:
+        """The wizard's finish step, server-side and DOM-free (the JS is
+        a dumb form serializer): merge the picked model / hotkey / device
+        into the live config, validate, save, optionally start the
+        daemon. Testable without a browser — the wizard.rs:797 finish
+        logic lives HERE, not in page script."""
+        from openhush_tpu.utils.config import Config
+
+        cfg = Config.load_or_default()
+        model = str(form.get("model") or "")
+        if model:
+            cfg.transcription.model = model
+            cfg.transcription.preset = "custom"
+        hotkey = str(form.get("hotkey") or "")
+        if hotkey:
+            from openhush_tpu.runtime.hotkey import parse_key
+            try:
+                parse_key(hotkey)
+            except ValueError as e:
+                return {"ok": False, "errors": [f"hotkey: {e}"]}
+            cfg.hotkey.key = hotkey
+        device = str(form.get("device") or "")
+        if device:
+            cfg.audio.device = device
+        errors = cfg.validate()
+        if errors:
+            return {"ok": False, "errors": errors}
+        cfg.save()
+        out = {"ok": True, "errors": [], "message": "Configuration saved."}
+        if form.get("autostart"):
+            started = cls.start_daemon()
+            out["message"] += " " + started.get(
+                "message", started.get("error", ""))
+            out["daemon"] = started
+        return out
+
     # -- lifecycle -------------------------------------------------------------
 
     def url(self, page: str = "/") -> str:
@@ -202,6 +255,8 @@ class PrefsServer:
                                                 "error": str(e)})
                 if route == "/api/daemon/start":
                     return self._start_daemon()
+                if route == "/api/wizard/finish":
+                    return self._send(200, ui.wizard_finish(body))
                 self._send(404, {"ok": False, "error": "not found"})
 
             def _save_config(self, body):
@@ -220,20 +275,8 @@ class PrefsServer:
                 self._send(200, {"ok": True, "errors": errors})
 
             def _start_daemon(self):
-                import subprocess
-                import sys
-                if ui.daemon_running():
-                    return self._send(200, {"ok": True,
-                                            "message": "already running"})
-                try:
-                    subprocess.Popen(
-                        [sys.executable, "-m", "openhush_tpu.cli", "start"],
-                        stdout=subprocess.DEVNULL,
-                        stderr=subprocess.DEVNULL, start_new_session=True)
-                    return self._send(200, {"ok": True,
-                                            "message": "daemon starting"})
-                except OSError as e:
-                    return self._send(500, {"ok": False, "error": str(e)})
+                result = ui.start_daemon()
+                return self._send(200 if result["ok"] else 500, result)
 
         self._httpd = ThreadingHTTPServer((self.host, self.port), Handler)
         self.port = self._httpd.server_address[1]
@@ -388,23 +431,19 @@ document.getElementById('mic-test').onclick = async () => {
   if (r.ok) document.getElementById('meter').style.width =
     Math.min(100, r.peak_rms * 800) + '%';
 };
+// Finish is a dumb form serializer: all merge/validate/save/start
+// logic runs server-side in PrefsServer.wizard_finish (DOM-free,
+// directly unit-tested — tests/test_web_ui.py).
 document.getElementById('finish').onclick = async () => {
-  CFG.transcription.model = document.getElementById('model').value;
-  CFG.transcription.preset = 'custom';
-  const key = document.getElementById('hotkey').value;
-  if (key) CFG.hotkey.key = key;
-  const dev = document.getElementById('device').value;
-  if (dev !== '') CFG.audio.device = dev;
-  const saved = await api('/api/config', {method: 'POST',
-    body: JSON.stringify({config: CFG, force: true})});
-  let msg = saved.ok ? 'Configuration saved. ' : 'Save failed. ';
-  if (document.getElementById('autostart').checked) {
-    const r = await api('/api/daemon/start', {method: 'POST', body: '{}'});
-    msg += r.ok ? r.message : r.error;
-  }
+  const r = await api('/api/wizard/finish', {method: 'POST',
+    body: JSON.stringify({
+      model: document.getElementById('model').value,
+      hotkey: document.getElementById('hotkey').value,
+      device: document.getElementById('device').value,
+      autostart: document.getElementById('autostart').checked})});
   const el = document.getElementById('done-msg');
-  el.className = saved.ok ? 'ok' : 'err';
-  el.textContent = msg;
+  el.className = r.ok ? 'ok' : 'err';
+  el.textContent = r.ok ? r.message : (r.errors || []).join('; ');
 };
 """
 

@@ -1,0 +1,153 @@
+"""Speculative CONTINUOUS BATCHING: batcher.spec_step must be
+token-identical to batcher.step for any draft — the serving-path twin of
+tests/test_speculative.py's one-shot guarantee. (Beyond-parity feature:
+whisper.cpp decodes strictly sequentially, src/engine/whisper.rs:204-305.)
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openhush_tpu.models.whisper import model as whisper
+from openhush_tpu.models.whisper.config import CONFIGS, get_config
+from openhush_tpu.runtime.server import EngineServer
+from openhush_tpu.text.tokenizer import WhisperTokenizer
+
+pytestmark = pytest.mark.slow
+
+NO_GUARDS = dict(temperatures=(0.0,), logprob_threshold=-1e9,
+                 no_speech_threshold=2.0)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = get_config("test")
+    params = whisper.init_params(cfg, jax.random.PRNGKey(42))
+    draft_cfg = CONFIGS["test-draft"]
+    draft_params = whisper.init_params(draft_cfg, jax.random.PRNGKey(7))
+    tok = WhisperTokenizer(cfg.n_langs)
+    return cfg, params, draft_cfg, draft_params, tok
+
+
+def _run_server(server, audios, max_turns=600):
+    sids = []
+    for i, audio in enumerate(audios):
+        sid = server.open_session()
+        sids.append(sid)
+        server.submit_window(sid, audio, window_id=i)
+    results = {}
+    for _ in range(max_turns):
+        server.run_once()
+        for sid in sids:
+            if sid not in results:
+                r = server.poll(sid)
+                if r is not None:
+                    results[sid] = r
+        if len(results) == len(sids):
+            break
+    assert len(results) == len(sids), "server did not finish all windows"
+    return [results[sid] for sid in sids]
+
+
+def _audios(n, seed=3, secs=2):
+    rng = np.random.default_rng(seed)
+    return [(0.2 * rng.standard_normal(16000 * secs)).astype(np.float32)
+            for _ in range(n)]
+
+
+@pytest.mark.parametrize("k_spec", [3, 4])
+def test_spec_server_token_exact_vs_plain(setup, k_spec):
+    """Same windows through a speculative server and a plain one →
+    identical content tokens, for a RANDOM (mostly-rejected) draft."""
+    cfg, params, dcfg, dparams, tok = setup
+    audios = _audios(3)
+    plain = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                         dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
+    spec = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                        dtype=jnp.float32, tokenizer=tok,
+                        draft=(dcfg, dparams), k_spec=k_spec, **NO_GUARDS)
+    assert spec.draft_cfg is not None
+    r_plain = _run_server(plain, audios)
+    r_spec = _run_server(spec, audios)
+    for rp, rs in zip(r_plain, r_spec):
+        assert rp.tokens == rs.tokens
+        assert rp.text == rs.text
+        np.testing.assert_allclose(rp.avg_logprob, rs.avg_logprob,
+                                   atol=2e-3)
+
+
+def test_spec_server_output_invariant_to_draft(setup):
+    """Output must be invariant to the draft weights (speed-only role):
+    two different random drafts → identical serving output."""
+    cfg, params, dcfg, dparams, tok = setup
+    sliced = whisper.init_params(dcfg, jax.random.PRNGKey(99),
+                                 dtype=jnp.float32)
+    audios = _audios(2, seed=11)
+    spec1 = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                         dtype=jnp.float32, tokenizer=tok,
+                         draft=(dcfg, dparams), **NO_GUARDS)
+    spec2 = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                         dtype=jnp.float32, tokenizer=tok,
+                         draft=(dcfg, sliced), **NO_GUARDS)
+    r1 = _run_server(spec1, audios)
+    r2 = _run_server(spec2, audios)
+    for a, b in zip(r1, r2):
+        assert a.tokens == b.tokens
+
+
+def test_spec_server_no_timestamps_mode(setup):
+    cfg, params, dcfg, dparams, tok = setup
+    audios = _audios(2, seed=5)
+    plain = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                         dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
+    spec = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                        dtype=jnp.float32, tokenizer=tok,
+                        draft=(dcfg, dparams), **NO_GUARDS)
+    for srv in (plain, spec):
+        for i, a in enumerate(audios):
+            sid = srv.open_session()
+            srv.submit_window(sid, a, window_id=i, timestamps=False)
+    # run both synchronously to completion
+    outs = []
+    for srv in (plain, spec):
+        res = []
+        for _ in range(600):
+            srv.run_once()
+            for sid in list(srv._results):
+                r = srv.poll(sid)
+                if r is not None:
+                    res.append((sid, r.tokens))
+            if len(res) == len(audios):
+                break
+        outs.append(sorted(res))
+    assert outs[0] == outs[1]
+
+
+def test_spec_server_incompatible_draft_disabled(setup):
+    cfg, params, _, _, tok = setup
+    bad_cfg = dataclasses.replace(CONFIGS["test-draft"], name="bad",
+                                  n_text_state=128, n_text_head=4)
+    bad_params = whisper.init_params(bad_cfg, jax.random.PRNGKey(1))
+    srv = EngineServer(cfg, params, n_slots=2, dtype=jnp.float32,
+                       tokenizer=tok, draft=(bad_cfg, bad_params),
+                       **NO_GUARDS)
+    assert srv.draft_cfg is None          # falls back to plain stepping
+    r = _run_server(srv, _audios(1))
+    assert r[0] is not None
+
+
+def test_spec_server_fallback_ladder(setup):
+    """Quality-guard retries (readmit path) must work under speculation:
+    force every first pass to 'fallback' via an impossible logprob
+    threshold, then recover at the last ladder temperature."""
+    cfg, params, dcfg, dparams, tok = setup
+    srv = EngineServer(cfg, params, n_slots=1, inner_steps=8,
+                       dtype=jnp.float32, tokenizer=tok,
+                       draft=(dcfg, dparams),
+                       temperatures=(0.0, 0.5), logprob_threshold=1e9,
+                       no_speech_threshold=2.0)
+    [res] = _run_server(srv, _audios(1, seed=9))
+    assert res.temperature == 0.5         # finished at the retry rung

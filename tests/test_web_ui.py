@@ -124,3 +124,46 @@ def test_served_js_uses_header_auth(ui):
         html = _get(ui, page, parse=False)
         assert "X-OpenHush-Token" in html
         assert "?token=" not in html.split("<script>", 1)[-1]
+
+
+# ---- wizard finish logic (server-side, DOM-free; VERDICT r2 #9) -------
+
+def test_wizard_finish_merges_config(ui, tmp_path, monkeypatch):
+    """The finish step's merge logic (model pick + hotkey + device) runs
+    in PrefsServer.wizard_finish — testable without any browser."""
+    r = _post(ui, "/api/wizard/finish", {
+        "model": "base", "hotkey": "F10", "device": "USB Mic",
+        "autostart": False})
+    assert r["ok"], r
+    from openhush_tpu.utils.config import Config
+    cfg = Config.load_or_default()
+    assert cfg.transcription.model == "base"
+    assert cfg.transcription.preset == "custom"
+    assert cfg.hotkey.key == "F10"
+    assert cfg.audio.device == "USB Mic"
+
+
+def test_wizard_finish_empty_fields_keep_defaults(ui):
+    r = _post(ui, "/api/wizard/finish", {"model": "", "hotkey": "",
+                                         "device": ""})
+    assert r["ok"]
+    from openhush_tpu.utils.config import Config
+    cfg = Config.load_or_default()
+    assert cfg.audio.device == ""         # untouched
+
+
+def test_wizard_finish_rejects_bad_input(ui):
+    r = _post(ui, "/api/wizard/finish", {"model": "not-a-model"})
+    assert not r["ok"] and r["errors"]
+    r = _post(ui, "/api/wizard/finish", {"hotkey": "NotAKey!!!"})
+    assert not r["ok"] and "hotkey" in r["errors"][0]
+
+
+def test_wizard_js_is_dumb_serializer(ui):
+    """Guard: the page script must not re-grow config-merge logic — the
+    finish handler only serializes the form to /api/wizard/finish."""
+    html = _get(ui, "/wizard", parse=False)
+    script = html.split("<script>", 1)[-1]
+    assert "/api/wizard/finish" in script
+    assert "CFG.transcription" not in script
+    assert "CFG.hotkey" not in script
