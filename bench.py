@@ -80,6 +80,80 @@ def make_bench_step(cfg):
     return bench_step
 
 
+def serving_bench(cfg, params, *, draft=None, k_spec=4,
+                  force_accept=False, n_windows=None):
+    """End-to-end SERVING throughput: B×30 s windows through the real
+    EngineServer (prep thread path run synchronously: preprocess → fused
+    mel → encode → int8 cross-KV → admission → batched decode → harvest).
+    EOT is suppressed so every window decodes exactly DECODE_STEPS
+    content tokens — the same per-window work as the raw loop, making
+    serving_x / raw_x the true serving-overhead ratio.
+
+    Returns (x_realtime, tokens_per_sec, accept_rate)."""
+    from openhush_tpu.runtime.server import EngineServer
+
+    if force_accept:
+        os.environ["OPENHUSH_SPEC_FORCE_ACCEPT"] = "1"
+    else:
+        os.environ.pop("OPENHUSH_SPEC_FORCE_ACCEPT", None)
+    prompt_len = 4           # [sot, lang, transcribe, notimestamps]
+    server = EngineServer(
+        cfg, params, n_slots=BATCH, inner_steps=8,
+        max_decode_len=prompt_len + DECODE_STEPS + 1,
+        temperatures=(0.0,), logprob_threshold=-1e9,
+        no_speech_threshold=2.0,
+        draft=draft, k_spec=k_spec)
+    # Suppress EOT: windows run to the decode budget deterministically.
+    eot = server.tokenizer.special.eot
+    server._suppress = server._suppress.at[eot].set(True)
+
+    n_windows = n_windows or 2 * BATCH
+    rng = np.random.default_rng(1)
+    audios = [np.asarray(0.1 * rng.standard_normal(mel_ops.N_SAMPLES),
+                         np.float32) for _ in range(min(4, n_windows))]
+
+    n_iters = max(1, server.inner_steps // k_spec)
+
+    def run(n):
+        sids = []
+        for i in range(n):
+            sid = server.open_session()
+            sids.append(sid)
+            server.submit_window(sid, audios[i % len(audios)],
+                                 window_id=i, language="en",
+                                 timestamps=False)
+        got, total_tokens, active_dispatches = 0, 0, 0
+        t0 = time.perf_counter()
+        while got < n:
+            if server._slots:
+                active_dispatches += 1
+            server.run_once()
+            for sid in sids:
+                r = server.poll(sid)
+                if r is not None:
+                    got += 1
+                    total_tokens += max(len(r.tokens), 1)
+        wall = time.perf_counter() - t0
+        for sid in sids:
+            server.close_session(sid)
+        return wall, total_tokens, active_dispatches
+
+    run(min(2, n_windows))                      # warm up / compile
+    wall, total_tokens, dispatches = run(n_windows)
+    audio_secs = n_windows * WINDOW_SECS
+    if draft is not None and dispatches:
+        # Accepted tokens per spec iteration → implied accept rate:
+        # emitted/iter = 1 + (k-1)*accept. Dispatches overcount when
+        # slots sit partially full, so this UNDERSTATES acceptance; it
+        # is exact in the fully-batched steady state.
+        per_iter = total_tokens / (dispatches * n_iters * BATCH)
+        accept = max(0.0, min(1.0, (per_iter - 1) / max(k_spec - 1, 1)))
+    else:
+        accept = float("nan")
+    os.environ.pop("OPENHUSH_SPEC_FORCE_ACCEPT", None)
+    return audio_secs / wall, total_tokens / wall, accept
+
+
 def main() -> None:
     cfg = get_config(MODEL)
     params = whisper.init_params(cfg, jax.random.PRNGKey(0),
@@ -112,12 +186,56 @@ def main() -> None:
 
     audio_secs = BATCH * WINDOW_SECS
     x_realtime = audio_secs / wall
-    print(json.dumps({
+    out = {
         "metric": f"{MODEL}_throughput_b{BATCH}_d{DECODE_STEPS}",
         "value": round(x_realtime, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(x_realtime / BASELINE_X_REALTIME, 3),
-    }))
+    }
+
+    # End-to-end SERVING numbers (VERDICT r2 #2): the same per-window work
+    # through the real EngineServer (admission + batched decode + harvest),
+    # plain and speculative. Guarded: the raw headline always prints.
+    if os.environ.get("OPENHUSH_BENCH_RAW_ONLY") != "1":
+        try:
+            import dataclasses
+
+            serving_x, tps, _ = serving_bench(cfg, params)
+            out["serving_x_realtime"] = round(serving_x, 2)
+            out["serving_frac_of_raw"] = round(serving_x / x_realtime, 3)
+            out["serving_tokens_per_sec"] = round(tps, 1)
+
+            if os.environ.get("OPENHUSH_BENCH_SPEC", "1") == "1":
+                # Turbo-shaped draft (4-layer decoder sharing the
+                # encoder). Random init → near-zero natural acceptance;
+                # force_accept measures the accept=1.0 endpoint through
+                # the identical compute path. Real speedup at accept r
+                # interpolates linearly in accepted-tokens/iteration.
+                if MODEL == "large-v3":
+                    dcfg = get_config("large-v3-turbo")
+                else:
+                    dcfg = dataclasses.replace(
+                        cfg, name=f"{cfg.name}-draft4",
+                        n_text_layer=min(4, cfg.n_text_layer))
+                dparams = whisper.init_params(dcfg, jax.random.PRNGKey(5),
+                                              dtype=jnp.bfloat16)
+                draft = (dcfg, dparams)
+                lo_x, _, lo_acc = serving_bench(cfg, params, draft=draft)
+                hi_x, _, _ = serving_bench(cfg, params, draft=draft,
+                                           force_accept=True)
+                out["spec_serving_x_accept0"] = round(lo_x, 2)
+                out["spec_serving_x_accept1"] = round(hi_x, 2)
+                out["spec_measured_accept_random_draft"] = round(lo_acc, 3)
+                # Linear interpolation between the two MEASURED endpoints
+                # (tokens/iteration is linear in accept).
+                est08 = lo_x + 0.8 * (hi_x - lo_x)
+                out["spec_serving_x_accept0.8_interp"] = round(est08, 2)
+                out["spec_serving_speedup_accept0.8"] = round(
+                    est08 / serving_x, 2)
+        except Exception as e:  # noqa: BLE001 — headline must survive
+            out["serving_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

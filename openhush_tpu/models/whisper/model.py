@@ -212,26 +212,62 @@ def _flash_block(Tp: int) -> int:
     return blk
 
 
-def _flash_ok(q) -> bool:
+def _flash_ok(q, sharded: bool = False) -> bool:
     import os
     if os.environ.get("OPENHUSH_NO_FLASH") == "1":
         return False
-    # Multi-chip meshes partition this jit with SPMD; a pallas_call under
-    # GSPMD is unvalidated on this codepath, so flash defaults to
-    # single-device processes (the benchmarked serving shape).
-    # OPENHUSH_FLASH=1 forces it on for multi-chip experiments.
-    if jax.device_count() > 1 and os.environ.get("OPENHUSH_FLASH") != "1":
+    # Multi-chip: a pallas_call under plain GSPMD is unvalidated, so
+    # flash needs either a single-device process or the shard_map wrapper
+    # (sharded=True — the kernel then runs on LOCAL head/batch shards,
+    # the same invocation shape as the benchmarked single-device call).
+    # OPENHUSH_FLASH=1 forces it on for raw-GSPMD experiments.
+    if (jax.device_count() > 1 and not sharded
+            and os.environ.get("OPENHUSH_FLASH") != "1"):
         return False
     return (jax.default_backend() == "tpu"
             and q.shape[-1] in (64, 128)
             and q.dtype in (jnp.bfloat16, jnp.float32))
 
 
-def _attend_full(q, k, v):
-    """Full (non-causal) self-attention: flash on TPU, dense elsewhere."""
-    if _flash_ok(q):
+# Mesh registered by the multi-chip serving path (parallel/sharding.
+# enable_sharded_flash): encoder attention is then evaluated under
+# shard_map with batch on 'data' and heads on 'model', so the Pallas
+# flash kernel runs on LOCAL shards — manual partitioning instead of
+# GSPMD-through-pallas_call (which is unvalidated). Attention is
+# head-parallel, so no collectives are needed inside the wrapper.
+_FLASH_MESH = None
+
+
+def set_flash_mesh(mesh) -> None:
+    global _FLASH_MESH
+    _FLASH_MESH = mesh
+
+
+def _attend_full_local(q, k, v, sharded: bool = False):
+    if _flash_ok(q, sharded=sharded):
         return _attend_full_flash(q, k, v)
     return _attend(q, k, v)
+
+
+def _attend_full(q, k, v):
+    """Full (non-causal) self-attention: flash on TPU, dense elsewhere.
+    With a registered mesh, runs under shard_map (B on 'data', H on
+    'model') so the kernel partitions explicitly."""
+    mesh = _FLASH_MESH
+    if mesh is not None and mesh.devices.size > 1:
+        dp = mesh.shape.get("data", 1)
+        tp = mesh.shape.get("model", 1)
+        B, H = q.shape[0], q.shape[1]
+        if B % dp == 0 and H % tp == 0:
+            import functools as _ft
+
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            spec = P("data", "model", None, None)
+            return shard_map(_ft.partial(_attend_full_local, sharded=True),
+                             mesh=mesh, in_specs=(spec, spec, spec),
+                             out_specs=spec, check_rep=False)(q, k, v)
+    return _attend_full_local(q, k, v)
 
 
 def _mm(x, w):
@@ -495,6 +531,78 @@ def _attend_decode_flat(q, k_flat, v_flat, mask, n_head, *,
                                                          ).astype(q.dtype)
 
 
+def _attend_decode_flat_multi(q3, k_flat, v_flat, mask4, n_head, *,
+                              ks=None, vs=None):
+    """Small-S multi-query twin of _attend_decode_flat: ONE MXU dot with
+    S·H lanes scores all S queries × H heads against the flat cache.
+
+    q3: [B, S, H*D]; k_flat/v_flat: [B, T, H*D] (bf16 or int8);
+    ks/vs: [B, T, H]; mask4: the decode() non-decode-step self mask
+    ([B,1,S,T] or [1,1,S,T]) or None.
+
+    Math is PER-QUERY IDENTICAL to the S=1 flat path (same block-diagonal
+    selector, same per-(row, head) query quantization, same scale folds,
+    same contraction dims) — the speculative verify pass depends on that:
+    verify logits match step logits to reduction-order noise (~1e-6)
+    instead of the ~1e-3 divergence of the per-head einsum formulation,
+    and the cache is still read ONCE for all S queries (the read that
+    speculation amortizes). Requires S·H ≤ 128 (one lane tile)."""
+    B, S, HD = q3.shape
+    D = HD // n_head
+    T = k_flat.shape[1]
+    # Live columns only ([HD, H]); each query gets its own H-lane group.
+    sel = jnp.asarray(_bd_selector(n_head, D)[:, :n_head])
+    quant = k_flat.dtype == jnp.int8
+    SH = S * n_head
+
+    if quant:
+        qh = q3.astype(jnp.float32).reshape(B, S, n_head, D)
+        qscale = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1), 1e-10) / 127.0
+        q8 = jnp.clip(jnp.round(qh / qscale[..., None]), -127, 127)
+        # qbd[b, k, s*H+h] = q8[b, s, k] * sel[k, h] — the S=1 selector
+        # replicated per query into its own H-lane group.
+        q8f = q8.reshape(B, S, HD)
+        qbd = (q8f[:, :, :, None] * sel[None, None]).astype(jnp.int8)
+        qbd = qbd.transpose(0, 2, 1, 3).reshape(B, HD, SH)
+        scores_i = jnp.einsum("btk,bkm->btm", k_flat, qbd,
+                              preferred_element_type=jnp.int32)
+        scores = scores_i.reshape(B, T, S, n_head).astype(jnp.float32)
+        scores = (scores * ks[:, :, None, :]
+                  * qscale[:, None, :, :] * (D ** -0.5))
+    else:
+        qbd = (q3[:, :, :, None] * sel.astype(q3.dtype)[None, None])
+        qbd = qbd.transpose(0, 2, 1, 3).reshape(B, HD, SH)
+        scores = jnp.einsum("btk,bkm->btm", k_flat, qbd,
+                            preferred_element_type=jnp.float32)
+        scores = scores.reshape(B, T, S, n_head) * (D ** -0.5)
+
+    if mask4 is not None:
+        # mask4 [B|1, 1, S, T] → [B|1, T, S, 1]
+        m = mask4[:, 0].transpose(0, 2, 1)[..., None]
+        scores = jnp.where(m, scores, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(scores, axis=1)           # over T
+    if quant:
+        pv = probs * vs[:, :, None, :]               # [B, T, S, H]
+        pscale = jnp.maximum(jnp.max(pv, axis=1), 1e-20) / 127.0  # [B,S,H]
+        p8 = jnp.clip(jnp.round(pv / pscale[:, None]), -127, 127
+                      ).astype(jnp.int8)
+        out_i = jnp.einsum("btm,btk->bmk",
+                           p8.reshape(B, T, SH), v_flat,
+                           preferred_element_type=jnp.int32)
+        out = (out_i.reshape(B, S, n_head, HD).astype(jnp.float32)
+               * pscale[..., None])
+    else:
+        pm = probs.reshape(B, T, SH).astype(v_flat.dtype)
+        out = jnp.einsum("btm,btk->bmk", pm, v_flat,
+                         preferred_element_type=jnp.float32
+                         ).reshape(B, S, n_head, HD)
+    # Diagonal extraction per query: head h's output is cols h*D:(h+1)*D.
+    out5 = out.reshape(B, S, n_head, n_head, D)
+    eye = jnp.asarray(np.eye(n_head, dtype=np.float32))
+    return jnp.einsum("bshgd,hg->bshd", out5, eye).reshape(
+        B, S, HD).astype(q3.dtype)
+
+
 def _attend_views(q4, k4, v4, mask, *, ks=None, vs=None):
     """Multi-query attention on [B, T, H, D] views of flat KV (prefill
     path; S>1 is rare so per-head einsums are fine here).
@@ -604,6 +712,13 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
             attn = _attend_decode_flat(q[:, 0], k_cache, v_cache,
                                        self_mask, n_head,
                                        ks=self_ks, vs=self_vs)[:, None]
+        elif S * n_head <= 128:
+            # Small blocks (speculative verify, short prompt prefill):
+            # the flat S·H-lane dot — per-query math identical to the
+            # S=1 decode step, cache read once.
+            attn = _attend_decode_flat_multi(q, k_cache, v_cache,
+                                             self_mask, n_head,
+                                             ks=self_ks, vs=self_vs)
         else:
             attn = _attend_views(
                 q.reshape(B, S, n_head, dh),
@@ -620,6 +735,11 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
                 xq[:, 0], xk, xv, None, n_head,
                 ks=xks if quantized else None,
                 vs=xvs if quantized else None)[:, None]
+        elif S * n_head <= 128:
+            attn = _attend_decode_flat_multi(
+                xq, xk, xv, None, n_head,
+                ks=xks if quantized else None,
+                vs=xvs if quantized else None)
         else:
             attn = _attend_views(
                 xq.reshape(B, S, n_head, dh),

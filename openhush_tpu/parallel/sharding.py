@@ -111,3 +111,19 @@ def shard_slot_state(state, mesh: Mesh, n_slots: int):
         return jax.device_put(a, NamedSharding(mesh, P()))
 
     return jax.tree.map(place, state)
+
+
+def enable_sharded_flash(mesh: Mesh) -> None:
+    """Switch the encoder's flash-attention path to explicit shard_map
+    partitioning on `mesh` (batch on 'data', heads on 'model'). Replaces
+    the old blanket device_count>1 flash disable: the Pallas kernel then
+    runs per-device on its local head/batch block — the same invocation
+    shape as the benchmarked single-device call — with no collectives
+    (attention is head-parallel)."""
+    from openhush_tpu.models.whisper import model as whisper_model
+    whisper_model.set_flash_mesh(mesh)
+
+
+def disable_sharded_flash() -> None:
+    from openhush_tpu.models.whisper import model as whisper_model
+    whisper_model.set_flash_mesh(None)

@@ -133,8 +133,16 @@ class EngineServer:
         self.audio_ctx = min(audio_ctx or cfg.n_audio_ctx, cfg.n_audio_ctx)
         if int8_self_cache is None:
             import os
-            int8_self_cache = os.environ.get(
-                "OPENHUSH_INT8_SELF_CACHE", "0") == "1"
+            env = os.environ.get("OPENHUSH_INT8_SELF_CACHE")
+            if env is not None:
+                int8_self_cache = env == "1"
+            else:
+                # tools/checkpoint_gate.py drops this marker after a
+                # real-weight WER run shows <0.1 abs drift — the gated
+                # default-flip of the int8 self-cache rung.
+                from openhush_tpu.runtime.engine import default_model_dir
+                int8_self_cache = os.path.exists(os.path.join(
+                    default_model_dir(), "int8_self_cache.ok"))
         self.room_cap = (max_decode_len or cfg.n_text_ctx) - 1
         self.state = batcher.init_state(cfg, n_slots, dtype=dtype,
                                         max_len=max_decode_len,

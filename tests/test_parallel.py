@@ -149,3 +149,50 @@ def test_batcher_sharded_serving_token_exact():
             return False
 
     np.testing.assert_array_equal(run(False), run(True))
+
+
+def test_sharded_flash_encoder_token_exact(cfg):
+    """Encoder under the shard_map flash wrapper (VERDICT r2 #3): with a
+    mesh registered, _attend_full partitions explicitly (B on data, H on
+    model) and must match the single-device encode exactly. On this CPU
+    mesh the per-shard inner resolves to dense (flash is TPU-only), so
+    this pins the PARTITIONING; the per-shard flash invocation on TPU has
+    the same local shape as the benchmarked single-device call."""
+    params = whisper.init_params(cfg, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(3)
+    mel = rng.standard_normal((4, cfg.n_mels, cfg.n_audio_ctx * 2)) \
+        .astype(np.float32)
+    ref = np.asarray(whisper.encode(cfg, params, mel))
+
+    mesh = sh.create_mesh(n_model=2)
+    sh.enable_sharded_flash(mesh)
+    try:
+        sharded_params = sh.shard_params(params, mesh)
+        mel_s = jax.device_put(mel, sh.data_sharding(mesh, 2))
+        out = np.asarray(jax.jit(
+            lambda p, m: whisper.encode(cfg, p, m))(sharded_params,
+                                                    mel_s))
+    finally:
+        sh.disable_sharded_flash()
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_sharded_flash_indivisible_heads_falls_back(cfg):
+    """Head counts that don't divide the model axis skip shard_map (no
+    crash, same numbers)."""
+    import dataclasses
+
+    cfg3 = dataclasses.replace(cfg, name="h3", n_audio_head=4,
+                               n_audio_state=128)
+    params = whisper.init_params(cfg3, jax.random.PRNGKey(6))
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((3, cfg3.n_mels, cfg3.n_audio_ctx * 2)) \
+        .astype(np.float32)          # B=3 not divisible by data=4
+    ref = np.asarray(whisper.encode(cfg3, params, mel))
+    mesh = sh.create_mesh(n_model=2)
+    sh.enable_sharded_flash(mesh)
+    try:
+        out = np.asarray(whisper.encode(cfg3, params, mel))
+    finally:
+        sh.disable_sharded_flash()
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -191,3 +191,72 @@ def test_flash_block_env_guard(monkeypatch):
     monkeypatch.setenv("OPENHUSH_FLASH_BLOCK", "1536")
     assert _flash_block(1536) == 1536
     assert _flash_block(1024) == 1024
+
+
+def test_flat_multi_attention_matches_single_step():
+    """The S·H-lane multi-query flat attention must reproduce the S=1
+    flat decode path per query to reduction-order noise — the numerical
+    contract behind speculative verify exactness — and agree with the
+    per-head views formulation within fp32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openhush_tpu.models.whisper import model as whisper
+
+    rng = np.random.default_rng(0)
+    B, T, H, D, S = 3, 96, 4, 16, 5
+    HD = H * D
+    pos = jnp.asarray([7, 20, 33], jnp.int32)
+    q3 = jnp.asarray(rng.standard_normal((B, S, HD)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, HD)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, HD)), jnp.float32)
+
+    key_idx = jnp.arange(T)[None, :]
+    q_idx = jnp.arange(S)[:, None]
+    mask4 = (key_idx[None] <= (pos[:, None, None] + q_idx[None]))[:, None]
+
+    multi = whisper._attend_decode_flat_multi(q3, k, v, mask4, H)
+    # Per-query S=1 flat calls with the matching single-step mask.
+    for s in range(S):
+        m1 = key_idx <= (pos + s)[:, None]
+        one = whisper._attend_decode_flat(q3[:, s], k, v, m1, H)
+        np.testing.assert_allclose(np.asarray(multi[:, s]),
+                                   np.asarray(one), atol=2e-5)
+    views = whisper._attend_views(q3.reshape(B, S, H, D),
+                                  k.reshape(B, T, H, D),
+                                  v.reshape(B, T, H, D), mask4)
+    np.testing.assert_allclose(np.asarray(multi),
+                               np.asarray(views.reshape(B, S, HD)),
+                               atol=5e-3)
+
+
+def test_flat_multi_attention_quant_matches_single_step():
+    """Quantized (int8 KV + scales) multi-query flat attention replicates
+    the S=1 quant path — including its query quantization — per query."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openhush_tpu.models.whisper import model as whisper
+
+    rng = np.random.default_rng(1)
+    B, T, H, D, S = 2, 64, 2, 32, 4
+    HD = H * D
+    q3 = jnp.asarray(rng.standard_normal((B, S, HD)), jnp.float32)
+    kf = rng.standard_normal((B, T, H, D)).astype(np.float32)
+    vf = rng.standard_normal((B, T, H, D)).astype(np.float32)
+    ks = np.abs(kf).max(-1) / 127.0 + 1e-9
+    vs = np.abs(vf).max(-1) / 127.0 + 1e-9
+    k8 = jnp.asarray(np.clip(np.round(kf / ks[..., None]), -127, 127)
+                     .reshape(B, T, HD), jnp.int8)
+    v8 = jnp.asarray(np.clip(np.round(vf / vs[..., None]), -127, 127)
+                     .reshape(B, T, HD), jnp.int8)
+    ksj, vsj = jnp.asarray(ks, jnp.float32), jnp.asarray(vs, jnp.float32)
+
+    multi = whisper._attend_decode_flat_multi(q3, k8, v8, None, H,
+                                              ks=ksj, vs=vsj)
+    for s in range(S):
+        one = whisper._attend_decode_flat(q3[:, s], k8, v8, None, H,
+                                          ks=ksj, vs=vsj)
+        np.testing.assert_allclose(np.asarray(multi[:, s]),
+                                   np.asarray(one), atol=2e-5)
