@@ -1,0 +1,381 @@
+"""THE real-checkpoint gate: one command that converts every model
+family, runs every validation stage, and emits a machine-readable
+report — so the day-one run on a networked machine is execute-only.
+
+    python tools/checkpoint_gate.py --model large-v3 \
+        --work /tmp/openhush-checkpoints \
+        --dataset /data/LibriSpeech/test-clean [--limit 200]
+
+Stages (each recorded in gate_report.json as {ok, seconds, detail}):
+
+  1. whisper_convert   HF checkpoint → npz (openhush model convert)
+  2. whisper_parity    tools/parity_gate.py vs torch HF on sample WAVs
+  3. wer_bf16          engine WER on the LibriSpeech-layout dataset
+  4. wer_int8_self     SERVING-path WER with the int8 self-cache rung
+  5. int8_decision     drift < 0.1 abs → drops models/int8_self_cache.ok
+                       (EngineServer flips its default on that marker)
+  6. m2m100_convert    HF M2M-100 → npz
+  7. aux_convert       Silero / openWakeWord / wespeaker / RNNoise via
+                       `model convert-aux` + tools/validate_aux.py
+                       (resolves the Silero STFT pad-mode into the npz)
+
+`--offline-dryrun` builds SYNTHETIC checkpoints for every family
+(random weights, real file formats) and executes all stages end-to-end
+with no network — CI runs this nightly (tests/test_checkpoint_gate.py),
+so the only thing the networked run adds is real weights.
+
+Fetching is the caller's job (tools/fetch_and_validate_all.sh wraps
+this with the download steps). Reference behavior being gated:
+real-GGML loading + transcription in src/engine/whisper.rs:159-287.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+INT8_WER_DRIFT_MAX = 0.001   # 0.1 absolute WER percentage points
+
+
+def _cli(*argv) -> int:
+    from openhush_tpu import cli
+    return cli.main(list(argv))
+
+
+class GateRunner:
+    def __init__(self, report_path: str):
+        self.report_path = report_path
+        self.report: dict = {"stages": {}, "ok": True}
+
+    def stage(self, name, fn, required=True):
+        t0 = time.monotonic()
+        entry = {"ok": False, "seconds": 0.0, "detail": None}
+        try:
+            entry["detail"] = fn()
+            entry["ok"] = True
+        except Exception as e:  # noqa: BLE001 — recorded, gate continues
+            entry["detail"] = f"{type(e).__name__}: {e}"
+            if required:
+                self.report["ok"] = False
+        entry["seconds"] = round(time.monotonic() - t0, 2)
+        self.report["stages"][name] = entry
+        print(f"[gate] {name}: {'ok' if entry['ok'] else 'FAIL'} "
+              f"({entry['seconds']}s) {entry['detail']}", flush=True)
+        self.write()
+        return entry["ok"]
+
+    def write(self):
+        with open(self.report_path, "w") as f:
+            json.dump(self.report, f, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# WER helpers
+# ---------------------------------------------------------------------------
+
+def _engine_wer(model: str, dataset: str, limit):
+    from openhush_tpu.runtime.engine import WhisperEngine
+    from openhush_tpu.utils.wer import evaluate_librispeech
+
+    eng = WhisperEngine(model, language="en", allow_random_init=os.environ
+                        .get("OPENHUSH_ALLOW_RANDOM_INIT") == "1")
+    res = evaluate_librispeech(eng, dataset, limit=limit)
+    return res
+
+
+class _ServerEngine:
+    """engine.transcribe-shaped adapter over EngineServer — the WER run
+    for the int8 self-cache rung goes through the ACTUAL serving path."""
+
+    def __init__(self, model: str, int8_self_cache: bool):
+        import jax.numpy as jnp
+
+        from openhush_tpu.runtime.engine import WhisperEngine
+        from openhush_tpu.runtime.server import EngineServer
+
+        eng = WhisperEngine(model, language="en", allow_random_init=os
+                            .environ.get("OPENHUSH_ALLOW_RANDOM_INIT")
+                            == "1")
+        guards = ({} if not getattr(eng, "random_init", False)
+                  else dict(temperatures=(0.0,),
+                            logprob_threshold=-1e9,
+                            no_speech_threshold=2.0))
+        self.server = EngineServer(eng.cfg, eng.params,
+                                   tokenizer=eng.tokenizer, n_slots=4,
+                                   dtype=jnp.bfloat16,
+                                   int8_self_cache=int8_self_cache,
+                                   **guards)
+        self._win = 0
+
+    def transcribe(self, audio, **kw):
+        import dataclasses
+
+        sid = self.server.open_session()
+        self._win += 1
+        self.server.submit_window(sid, audio, window_id=self._win,
+                                  language="en", timestamps=False)
+        res = None
+        for _ in range(5000):
+            self.server.run_once()
+            res = self.server.poll(sid)
+            if res is not None:
+                break
+        self.server.close_session(sid)
+
+        @dataclasses.dataclass
+        class R:
+            text: str
+        return R(text=res.text if res else "")
+
+
+def _server_wer(model: str, dataset: str, limit, int8: bool):
+    from openhush_tpu.utils.wer import evaluate_librispeech
+    eng = _ServerEngine(model, int8_self_cache=int8)
+    return evaluate_librispeech(eng, dataset, limit=limit)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic checkpoint builders (offline dry-run)
+# ---------------------------------------------------------------------------
+
+def build_synthetic(work: str) -> dict:
+    """Random-weight checkpoints in every REAL file format the gate
+    consumes. Reuses the test-suite builders (single source of truth for
+    the synthetic formats)."""
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    import numpy as np
+    import torch
+    import transformers
+    from safetensors.numpy import save_file
+
+    import test_aux_convert as aux_builders
+    import test_convert_aux_cli as cli_builders
+
+    paths = {}
+    os.makedirs(work, exist_ok=True)
+
+    # Whisper (HF layout: config.json + model.safetensors)
+    wdir = os.path.join(work, "whisper")
+    os.makedirs(wdir, exist_ok=True)
+    hf_cfg = transformers.WhisperConfig(
+        vocab_size=51865, num_mel_bins=80, d_model=64,
+        encoder_layers=2, encoder_attention_heads=2,
+        decoder_layers=2, decoder_attention_heads=2,
+        decoder_ffn_dim=256, encoder_ffn_dim=256,
+        max_source_positions=1500, max_target_positions=448,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2,
+        decoder_start_token_id=1, suppress_tokens=None,
+        begin_suppress_tokens=None)
+    torch.manual_seed(0)
+    m = transformers.WhisperForConditionalGeneration(hf_cfg).eval()
+    save_file({k: v.detach().numpy() for k, v in m.state_dict().items()},
+              os.path.join(wdir, "model.safetensors"))
+    with open(os.path.join(wdir, "config.json"), "w") as f:
+        f.write(hf_cfg.to_json_string())
+    paths["whisper"] = wdir
+
+    # M2M-100 (HF layout)
+    mdir = os.path.join(work, "m2m")
+    os.makedirs(mdir, exist_ok=True)
+    # Dims match m2m100.CONFIGS["test"] so `convert-m2m100 test` maps it.
+    m2m_cfg = transformers.M2M100Config(
+        vocab_size=1000, d_model=64, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=2,
+        decoder_attention_heads=2, encoder_ffn_dim=128,
+        decoder_ffn_dim=128, max_position_embeddings=1024)
+    torch.manual_seed(1)
+    mm = transformers.M2M100ForConditionalGeneration(m2m_cfg).eval()
+    save_file({k: v.detach().numpy() for k, v in mm.state_dict().items()},
+              os.path.join(mdir, "model.safetensors"))
+    with open(os.path.join(mdir, "config.json"), "w") as f:
+        f.write(m2m_cfg.to_json_string())
+    paths["m2m"] = mdir
+
+    # Aux families via the shared test builders.
+    import pathlib
+    tp = pathlib.Path(work)
+    paths["silero_jit"] = cli_builders._make_silero_jit(tp)
+    paths["wakeword_embedding"] = cli_builders._wakeword_embedding_onnx(tp)
+    paths["wakeword_classifier"] = cli_builders._wakeword_classifier_onnx(tp)
+    paths["wespeaker"] = cli_builders._wespeaker_onnx(tp)
+    rng = np.random.default_rng(7)
+    rnnn = os.path.join(work, "rnnoise.rnnn")
+    text, _raws = aux_builders._build_model_text(rng)
+    with open(rnnn, "w") as f:
+        f.write(text)
+    paths["rnnoise"] = rnnn
+
+    # Tiny LibriSpeech-layout dataset (speaker/chapter/utt + trans.txt).
+    ds = os.path.join(work, "LibriSpeech", "1", "1")
+    os.makedirs(ds, exist_ok=True)
+    import wave
+    lines = []
+    rng2 = np.random.default_rng(11)
+    for i in range(2):
+        utt = f"1-1-{i:04d}"
+        sig = (0.1 * rng2.standard_normal(16000)).astype(np.float32)
+        with wave.open(os.path.join(ds, utt + ".wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((sig * 32767).astype(np.int16).tobytes())
+        lines.append(f"{utt} HELLO WORLD TEST {i}")
+    with open(os.path.join(ds, "1-1.trans.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    paths["dataset"] = os.path.join(work, "LibriSpeech")
+    return paths
+
+
+# ---------------------------------------------------------------------------
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="large-v3")
+    ap.add_argument("--work", default="/tmp/openhush-checkpoints")
+    ap.add_argument("--dataset", default=None,
+                    help="LibriSpeech-layout split dir (test-clean)")
+    ap.add_argument("--limit", type=int, default=None)
+    ap.add_argument("--report", default=None)
+    ap.add_argument("--offline-dryrun", action="store_true")
+    ap.add_argument("--skip-parity", action="store_true")
+    args = ap.parse_args()
+
+    report_path = args.report or os.path.join(args.work,
+                                              "gate_report.json")
+    os.makedirs(args.work, exist_ok=True)
+    gate = GateRunner(report_path)
+    model = args.model
+
+    if args.offline_dryrun:
+        os.environ["OPENHUSH_ALLOW_RANDOM_INIT"] = "1"
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        paths = build_synthetic(os.path.join(args.work, "synthetic"))
+        model = "test"
+        args.dataset = paths["dataset"]
+        args.limit = args.limit or 2
+    else:
+        paths = {
+            "whisper": os.path.join(args.work, "whisper"),
+            "m2m": os.path.join(args.work, "m2m"),
+            "silero_jit": os.path.join(args.work, "silero_vad.jit"),
+            "wakeword_embedding": os.path.join(args.work,
+                                               "embedding_model.onnx"),
+            "wakeword_classifier": os.path.join(args.work,
+                                                "hey_jarvis.onnx"),
+            "wespeaker": os.path.join(args.work, "wespeaker.onnx"),
+            "rnnoise": os.path.join(args.work, "rnnoise.rnnn"),
+        }
+
+    from openhush_tpu.runtime.engine import default_model_dir
+
+    gate.stage("whisper_convert", lambda: _cli(
+        "model", "convert", model, "--hf-path", paths["whisper"]) == 0
+        and f"{model}.npz" or (_ for _ in ()).throw(
+            RuntimeError("convert failed")))
+
+    if not args.skip_parity:
+        def parity():
+            wavs = [os.path.join(REPO, "tests", "data", w)
+                    for w in ("speechlike.wav", "tone_sweep.wav")]
+            rc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools",
+                                              "parity_gate.py"),
+                 model, "--hf-path", paths["whisper"], "--wavs", *wavs],
+                capture_output=True, text=True, timeout=3600,
+                cwd=REPO, env={**os.environ, "PYTHONPATH": REPO})
+            if rc.returncode != 0:
+                raise RuntimeError(rc.stdout[-400:] + rc.stderr[-400:])
+            return "token parity ok"
+        gate.stage("whisper_parity", parity)
+
+    if args.dataset:
+        wer_holder = {}
+
+        def wer_bf16():
+            r = _engine_wer(model, args.dataset, args.limit)
+            wer_holder["bf16"] = r.wer
+            return {"wer": round(r.wer, 4), "ref_words": r.n_ref_words}
+
+        def wer_int8():
+            r = _server_wer(model, args.dataset, args.limit, int8=True)
+            wer_holder["int8"] = r.wer
+            return {"wer": round(r.wer, 4), "ref_words": r.n_ref_words}
+
+        def decide():
+            if "bf16" not in wer_holder or "int8" not in wer_holder:
+                raise RuntimeError("WER stages incomplete")
+            drift = wer_holder["int8"] - wer_holder["bf16"]
+            marker = os.path.join(default_model_dir(),
+                                  "int8_self_cache.ok")
+            random_init = os.environ.get(
+                "OPENHUSH_ALLOW_RANDOM_INIT") == "1"
+            if drift < INT8_WER_DRIFT_MAX and not random_init:
+                with open(marker, "w") as f:
+                    json.dump({"drift": drift,
+                               "bf16": wer_holder["bf16"],
+                               "int8": wer_holder["int8"]}, f)
+                return {"drift": round(drift, 5), "default_flipped": True}
+            return {"drift": round(drift, 5), "default_flipped": False,
+                    "note": "random-init dryrun never flips"
+                    if random_init else "drift too large"}
+
+        gate.stage("wer_bf16", wer_bf16)
+        gate.stage("wer_int8_self", wer_int8)
+        gate.stage("int8_decision", decide)
+
+    m2m_name = "test" if args.offline_dryrun else "418M"
+    gate.stage("m2m100_convert", lambda: _cli(
+        "model", "convert-m2m100", m2m_name, "--hf-path", paths["m2m"])
+        == 0 and "m2m100.npz" or (_ for _ in ()).throw(
+            RuntimeError("convert failed")))
+
+    def aux():
+        done = []
+        specs = [("silero", paths["silero_jit"], "silero"),
+                 ("wakeword-embedding", paths["wakeword_embedding"],
+                  None),
+                 ("wakeword-classifier", paths["wakeword_classifier"],
+                  None),
+                 ("wespeaker", paths["wespeaker"], None),
+                 ("rnnoise", paths["rnnoise"], "rnnoise")]
+        aux_dir = os.path.join(default_model_dir(), "aux")
+        installed = {"silero": "silero.npz",
+                     "wakeword-embedding": "wakeword_embedding.onnx",
+                     "wakeword-classifier": "wakeword_classifier.onnx",
+                     "wespeaker": "wespeaker.onnx",
+                     "rnnoise": "rnnoise.npz"}
+        for kind, src, validator in specs:
+            if _cli("model", "convert-aux", kind, src) != 0:
+                raise RuntimeError(f"convert-aux {kind} failed")
+            out = os.path.join(aux_dir, installed[kind])
+            if validator:
+                rc = subprocess.run(
+                    [sys.executable,
+                     os.path.join(REPO, "tools", "validate_aux.py"),
+                     validator, src, out],
+                    capture_output=True, text=True, timeout=1800,
+                    cwd=REPO, env={**os.environ, "PYTHONPATH": REPO})
+                if rc.returncode != 0:
+                    raise RuntimeError(
+                        f"validate_aux {kind}: "
+                        f"{rc.stdout[-300:]}{rc.stderr[-300:]}")
+            done.append(kind)
+        return done
+
+    gate.stage("aux_convert", aux)
+
+    gate.write()
+    print(f"[gate] report: {report_path} "
+          f"({'PASS' if gate.report['ok'] else 'FAIL'})")
+    return 0 if gate.report["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

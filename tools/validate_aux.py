@@ -36,9 +36,29 @@ def validate_silero(jit_path: str, npz_path: str) -> int:
         model.reset_states()
     except Exception:  # noqa: BLE001
         pass
-    for c in chunks:
+    # Real checkpoints are stateful `forward(x, sr)`; the synthetic
+    # replica (tests/test_aux_convert.SileroReplica, used by the
+    # offline gate dry-run) is the stateless (chunk, h, c, context)
+    # export. Drive whichever signature the jit has.
+    stateful = True
+    try:
         with torch.no_grad():
-            out = model(torch.from_numpy(c)[None], 16000)
+            out = model(torch.from_numpy(chunks[0])[None], 16000)
+        ref.append(float(np.asarray(out).reshape(-1)[0]))
+        rest = chunks[1:]
+    except RuntimeError:
+        stateful = False
+        h = torch.zeros(1, 128)
+        cst = torch.zeros(1, 128)
+        ctx = torch.zeros(1, 64)
+        rest = chunks
+    for c in rest:
+        with torch.no_grad():
+            if stateful:
+                out = model(torch.from_numpy(c)[None], 16000)
+            else:
+                out, h, cst, ctx = model(torch.from_numpy(c)[None], h,
+                                         cst, ctx)
         ref.append(float(np.asarray(out).reshape(-1)[0]))
 
     best = None
