@@ -299,21 +299,35 @@ class DiarizationEngine:
         from openhush_tpu.runtime.engine import default_model_dir
 
         aux = os.path.join(default_model_dir(), "aux")
+        # Packaged fallback: small in-tree trained checkpoints (synthetic
+        # voices, training/speaker.py recipe; DER on the synthetic
+        # meeting set: 0.185 — `openhush evaluate --diarization`), so
+        # diarization works out of the box with zero downloads.
+        assets = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets", "diarization")
+
+        def find(name):
+            for base in (aux, assets):
+                p = os.path.join(base, name)
+                if os.path.exists(p):
+                    return p
+            return None
+
         seg_onnx = os.path.join(aux, "segmentation.onnx")
         seg_fn = segmentation_fn_from_onnx(seg_onnx) \
             if os.path.exists(seg_onnx) else None
-        seg_path = os.path.join(aux, "segmentation.npz")
+        seg_path = find("segmentation.npz")
         seg = {k: jnp.asarray(v) for k, v in load_npz(seg_path).items()} \
-            if seg_fn is None and os.path.exists(seg_path) else None
+            if seg_fn is None and seg_path else None
         onnx_path = os.path.join(aux, "wespeaker.onnx")
         if os.path.exists(onnx_path):
             eng = cls.from_onnx(onnx_path, config)
             eng.seg_params, eng.seg_fn = seg, seg_fn
             return eng
-        emb_path = os.path.join(aux, "speaker_embedder.npz")
+        emb_path = find("speaker_embedder.npz")
         params = ({k: jnp.asarray(v)
                    for k, v in load_npz(emb_path).items()}
-                  if os.path.exists(emb_path) else None)
+                  if emb_path else None)
         return cls(config, params=params, seg_params=seg, seg_fn=seg_fn)
 
     @classmethod

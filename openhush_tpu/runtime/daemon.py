@@ -998,18 +998,40 @@ def cmd_config(args: list[str]) -> int:
 
 def cmd_evaluate(args: list[str]) -> int:
     """openhush evaluate --dataset DIR [--model M] [--limit N] — WER on a
-    LibriSpeech-layout dataset (the north-star quality gate)."""
+    LibriSpeech-layout dataset (the north-star quality gate); or
+    `evaluate --diarization [--meetings N]` — DER/JER on synthetic
+    meetings (utils/der.py, no network needed)."""
     import argparse
 
     from openhush_tpu.runtime.engine import WhisperEngine
     from openhush_tpu.utils.wer import evaluate_librispeech
 
     p = argparse.ArgumentParser(prog="openhush evaluate")
-    p.add_argument("--dataset", required=True)
+    p.add_argument("--dataset", default=None)
     p.add_argument("--model", "-m", default="large-v3")
     p.add_argument("--limit", type=int, default=None)
     p.add_argument("--beam-size", type=int, default=None)
+    p.add_argument("--diarization", action="store_true")
+    p.add_argument("--meetings", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
     ns = p.parse_args(args)
+    if ns.diarization:
+        from openhush_tpu.utils.der import evaluate_synthetic_meetings
+        r = evaluate_synthetic_meetings(n_meetings=ns.meetings,
+                                        seed=ns.seed, progress=True)
+        print(json.dumps({
+            "der": round(r.der, 4), "jer": round(r.jer, 4),
+            "missed": round(r.missed, 4),
+            "false_alarm": round(r.false_alarm, 4),
+            "confusion": round(r.confusion, 4),
+            "ref_speech_secs": round(r.ref_speech_secs, 1),
+            "meetings": ns.meetings,
+        }))
+        return 0
+    if not ns.dataset:
+        print("evaluate: --dataset DIR or --diarization required",
+              file=sys.stderr)
+        return 1
     if not os.path.isdir(ns.dataset):
         print(f"Dataset directory not found: {ns.dataset}", file=sys.stderr)
         return 1
