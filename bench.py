@@ -102,7 +102,10 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
         max_decode_len=prompt_len + DECODE_STEPS + 1,
         temperatures=(0.0,), logprob_threshold=-1e9,
         no_speech_threshold=2.0,
-        draft=draft, k_spec=k_spec)
+        draft=draft, k_spec=k_spec,
+        harvest_every=int(os.environ.get("OPENHUSH_BENCH_HARVEST",
+                                         "4")),
+        max_admissions_per_turn=BATCH)
     # Suppress EOT: windows run to the decode budget deterministically.
     eot = server.tokenizer.special.eot
     server._suppress = server._suppress.at[eot].set(True)

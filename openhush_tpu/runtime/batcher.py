@@ -377,6 +377,75 @@ def _admit_impl(cfg: WhisperConfig, params, draft_cfg, draft_params,
                         draft_cfg=draft_cfg, draft_params=draft_params)
 
 
+def admit_many(cfg: WhisperConfig, params, state: SlotState,
+               slots, new_xkv: whisper.QuantKVCache, prompts,
+               use_timestamps, *, prompt_len: int, temperatures, rngs,
+               rows, draft_cfg: Optional[WhisperConfig] = None,
+               draft_params=None,
+               draft_xkv: Optional[whisper.QuantKVCache] = None
+               ) -> SlotState:
+    """Install k sessions from ONE prepared batch in ONE dispatch.
+
+    Join bursts (and offline batch transcription) previously paid one
+    admit dispatch per window; through a dev tunnel each dispatch costs
+    ~tens of ms, making admission the serving bottleneck after the step
+    loop was amortized. All k windows must share `new_xkv` (one
+    _prepare_many batch) and prompt_len.
+
+    slots/rows: [k] int32; prompts: [k, prompt_len]; use_timestamps:
+    [k] bool; temperatures: [k] f32; rngs: [k, 2] uint32."""
+    donated, kept = _pack(state)
+    return _admit_many_impl(
+        cfg, draft_cfg, params, draft_params, donated, kept,
+        jnp.asarray(slots, jnp.int32), new_xkv, draft_xkv,
+        jnp.asarray(prompts, jnp.int32),
+        jnp.asarray(use_timestamps, bool),
+        jnp.asarray(temperatures, jnp.float32),
+        jnp.asarray(rngs, jnp.uint32),
+        jnp.asarray(rows, jnp.int32), prompt_len=prompt_len)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "draft_cfg", "prompt_len"),
+                   donate_argnums=(4,))
+def _admit_many_impl(cfg: WhisperConfig, draft_cfg, params, draft_params,
+                     donated, kept, slots, new_xkv, draft_xkv, prompts,
+                     use_ts, temps, rngs, rows, *,
+                     prompt_len: int) -> SlotState:
+    state = _unpack(donated, kept)
+    k = slots.shape[0]
+
+    def body(i, state):
+        slot, row = slots[i], rows[i]
+        pick = lambda a: jax.lax.dynamic_slice_in_dim(a, row, 1, axis=1)
+        row_xkv = whisper.QuantKVCache(
+            pick(new_xkv.k), pick(new_xkv.k_scale),
+            pick(new_xkv.v), pick(new_xkv.v_scale))
+        upd = lambda buf, val: jax.lax.dynamic_update_slice(
+            buf, val.astype(buf.dtype), (0, slot) + (0,) * (buf.ndim - 2))
+        state = state._replace(
+            xkv_k=upd(state.xkv_k, row_xkv.k),
+            xkv_ks=upd(state.xkv_ks, row_xkv.k_scale),
+            xkv_v=upd(state.xkv_v, row_xkv.v),
+            xkv_vs=upd(state.xkv_vs, row_xkv.v_scale))
+        if draft_cfg is not None:
+            drow = whisper.QuantKVCache(
+                pick(draft_xkv.k), pick(draft_xkv.k_scale),
+                pick(draft_xkv.v), pick(draft_xkv.v_scale))
+            state = state._replace(
+                d_xkv_k=upd(state.d_xkv_k, drow.k),
+                d_xkv_ks=upd(state.d_xkv_ks, drow.k_scale),
+                d_xkv_v=upd(state.d_xkv_v, drow.v),
+                d_xkv_vs=upd(state.d_xkv_vs, drow.v_scale))
+        return _prefill_row(cfg, params, state, slot, row_xkv,
+                            prompts[i][None], use_ts[i], temps[i],
+                            rngs[i], prompt_len,
+                            draft_cfg=draft_cfg,
+                            draft_params=draft_params)
+
+    return jax.lax.fori_loop(0, k, body, state)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "draft_cfg", "prompt_len"),
                    donate_argnums=(4,))

@@ -102,7 +102,8 @@ class EngineServer:
                  max_admissions_per_turn: int = 1,
                  int8_self_cache: Optional[bool] = None,
                  draft: Optional[tuple] = None,
-                 k_spec: int = 4):
+                 k_spec: int = 4,
+                 harvest_every: int = 1):
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
@@ -161,6 +162,12 @@ class EngineServer:
         self.no_speech_threshold = no_speech_threshold
         self.rep_threshold = rep_threshold
         self.max_admissions_per_turn = max(1, max_admissions_per_turn)
+        # Harvest (a host sync) every N step dispatches. 1 = every turn
+        # (latency-first streaming default); batch/offline throughput
+        # paths use larger values so consecutive step dispatches overlap
+        # instead of serializing on a device→host read per turn.
+        self.harvest_every = max(1, harvest_every)
+        self._turn = 0
         self._suppress = jnp.asarray(decoding.build_suppress_mask(
             self.tokenizer, cfg, decoding.DecodingOptions()))
         blank = self.tokenizer.encode(" ")
@@ -352,7 +359,11 @@ class EngineServer:
                     inner_steps=self.inner_steps,
                     blank_token=self._blank_token,
                     rep_threshold=self.rep_threshold)
-            self._harvest()
+            self._turn += 1
+            if (self._turn % self.harvest_every == 0
+                    or (not self._ready.empty()
+                        and not self._free_slots())):
+                self._harvest()
             worked = True
         return worked
 
@@ -374,6 +385,7 @@ class EngineServer:
         budget = self.max_admissions_per_turn if any_active else \
             self.n_slots
         admitted = False
+        picked = []            # (slot, info, xkv, row, dxkv)
         for slot in self._free_slots():
             if budget <= 0:
                 break
@@ -381,11 +393,36 @@ class EngineServer:
                 job, info, xkv, row, dxkv = self._ready.get_nowait()
             except queue.Empty:
                 break
-            self._install(slot, info, xkv=xkv, row=row, dxkv=dxkv)
-            admitted = True
+            picked.append((slot, info, xkv, row, dxkv))
             budget -= 1
-            log.debug("admitted session %d window %d into slot %d",
+            log.debug("admitting session %d window %d into slot %d",
                       job.session_id, job.window_id, slot)
+        # Windows prepared in the same batch (same xkv buffers) install
+        # in ONE dispatch (batcher.admit_many) — a join burst costs one
+        # admit instead of one per window.
+        i = 0
+        while i < len(picked):
+            group = [picked[i]]
+            tok = self.tokenizer
+            plen = len(tok.sot_sequence(picked[i][1].language,
+                                        picked[i][1].task,
+                                        timestamps=picked[i][1]
+                                        .timestamps))
+            while (i + len(group) < len(picked)
+                   and picked[i + len(group)][2] is picked[i][2]
+                   and len(tok.sot_sequence(
+                       picked[i + len(group)][1].language,
+                       picked[i + len(group)][1].task,
+                       timestamps=picked[i + len(group)][1].timestamps))
+                   == plen):
+                group.append(picked[i + len(group)])
+            if len(group) == 1:
+                slot, info, xkv, row, dxkv = group[0]
+                self._install(slot, info, xkv=xkv, row=row, dxkv=dxkv)
+            else:
+                self._install_many(group)
+            admitted = True
+            i += len(group)
         return admitted
 
     def _prepare_many(self, jobs: list[_Pending]) -> None:
@@ -461,6 +498,38 @@ class EngineServer:
         with self._lock:
             self._slots[slot] = info
 
+    def _rng_for(self, info: _SlotInfo) -> np.ndarray:
+        return np.asarray(
+            jax.random.key_data(jax.random.PRNGKey(
+                (info.session_id * 1000003 + info.window_id * 101
+                 + info.temp_idx) & 0x7FFFFFFF)), np.uint32)
+
+    def _install_many(self, group) -> None:
+        """One-dispatch install of k same-prep-batch windows."""
+        tok = self.tokenizer
+        slots, prompts, use_ts, temps, rngs, rows = [], [], [], [], [], []
+        xkv = group[0][2]
+        dxkv = group[0][4]
+        for slot, info, _, row, _ in group:
+            prompt = tok.sot_sequence(info.language, info.task,
+                                      timestamps=info.timestamps)
+            info.prompt_len = len(prompt)
+            slots.append(slot)
+            prompts.append(prompt)
+            use_ts.append(info.timestamps)
+            temps.append(float(self.temperatures[info.temp_idx]))
+            rngs.append(self._rng_for(info))
+            rows.append(row)
+        self.state = batcher.admit_many(
+            self.cfg, self.params, self.state, slots, xkv,
+            prompts, use_ts, prompt_len=len(prompts[0]),
+            temperatures=temps, rngs=np.stack(rngs), rows=rows,
+            draft_cfg=self.draft_cfg, draft_params=self.draft_params,
+            draft_xkv=dxkv)
+        with self._lock:
+            for slot, info, *_ in group:
+                self._slots[slot] = info
+
     def _quality_verdict(self, text: str, avg_logprob: float,
                          no_speech_prob: float,
                          degenerate: bool) -> tuple[str, float]:
@@ -479,22 +548,22 @@ class EngineServer:
         return "emit", cr
 
     def _harvest(self) -> None:
-        finished = np.asarray(self.state.finished)
+        # ONE device→host fetch for the per-turn check: each np.asarray
+        # is a full dispatch round-trip (200 ms through the dev tunnel),
+        # and the old per-slot length reads made harvest the serving
+        # bottleneck (bench: serving at 24% of the raw loop pre-fix).
+        finished, lengths = jax.device_get((self.state.finished,
+                                            self.state.length))
         if not finished.any():
             # First-token latency bookkeeping for live partials.
             with self._lock:
                 for slot, info in self._slots.items():
-                    if info.first_token_at is None:
-                        length = int(np.asarray(self.state.length[slot]))
-                        if length > 0:
-                            info.first_token_at = time.monotonic()
+                    if info.first_token_at is None and lengths[slot] > 0:
+                        info.first_token_at = time.monotonic()
             return
-        tokens = np.asarray(self.state.tokens)
-        pos = np.asarray(self.state.pos)
-        sum_lp = np.asarray(self.state.sum_logprob)
-        lengths = np.asarray(self.state.length)
-        no_speech = np.asarray(self.state.no_speech)
-        degenerate = np.asarray(self.state.degenerate)
+        tokens, pos, sum_lp, no_speech, degenerate = jax.device_get(
+            (self.state.tokens, self.state.pos, self.state.sum_logprob,
+             self.state.no_speech, self.state.degenerate))
         eot = self.tokenizer.special.eot
         done_mask = np.zeros(self.n_slots, bool)
         retries: list[tuple[int, _SlotInfo]] = []

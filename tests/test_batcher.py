@@ -508,3 +508,41 @@ def test_int8_self_cache_modes(setup):
                              **NO_GUARDS)
     assert fp_server.state.cache_k.dtype == jnp.float32
     assert fp_server.state.cache_ks.shape[2:] == (1, 1)
+
+
+def test_admit_many_matches_serial_admits(setup):
+    """One-dispatch batched admission (admit_many) must produce the same
+    decode results as per-window admits — join bursts cost one dispatch."""
+    cfg, params, tok = setup
+    rng = np.random.default_rng(21)
+    mel = rng.standard_normal((3, 80, 3000)).astype(np.float32) * 0.5
+    feats = whisper.encode(cfg, params, mel)
+    xkv = whisper.compute_cross_kv_quant(cfg, params, feats)
+    prompt = tok.sot_sequence("en", "transcribe", timestamps=True)
+    suppress = jnp.asarray(decoding.build_suppress_mask(
+        tok, cfg, decoding.DecodingOptions()))
+
+    def run(batched):
+        state = batcher.init_state(cfg, 4, dtype=jnp.float32,
+                                   max_len=64, audio_ctx=cfg.n_audio_ctx)
+        rngs = np.zeros((3, 2), np.uint32)
+        if batched:
+            state = batcher.admit_many(
+                cfg, params, state, [0, 1, 2], xkv,
+                [prompt] * 3, [True] * 3, prompt_len=len(prompt),
+                temperatures=[0.0] * 3, rngs=rngs, rows=[0, 1, 2])
+        else:
+            for slot in range(3):
+                state = batcher.admit(
+                    cfg, params, state, jnp.int32(slot), xkv,
+                    jnp.asarray([prompt], jnp.int32), jnp.asarray(True),
+                    prompt_len=len(prompt), row=jnp.int32(slot))
+        for _ in range(4):
+            state = batcher.step(cfg, params, state, suppress,
+                                 inner_steps=8)
+        return np.asarray(state.tokens), np.asarray(state.pos)
+
+    t1, p1 = run(batched=False)
+    t2, p2 = run(batched=True)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(t1, t2)
