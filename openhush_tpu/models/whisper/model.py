@@ -667,7 +667,10 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
             self_mask = (key_idx <= pos + q_idx)[None, None]
 
     def _update_cache(c, new):
-        """c [B,T,...] ← new [B,S,...] at per-row or shared offset."""
+        """c [B,T,...] ← new [B,S,...] at per-row or shared offset.
+        Casts to the cache dtype: a bf16 serving cache composes with
+        fp32 params (tests) without caring who allocated what."""
+        new = new.astype(c.dtype)
         if per_row:
             return jax.vmap(
                 lambda cb, nb, p: jax.lax.dynamic_update_slice(
