@@ -1,5 +1,26 @@
 """Pallas decode-attention kernel: single-query attention over long K/V.
 
+FUSED-LAYER DECISION (round 3, 2026-08-17, measured on v5e): the
+round-1 ask — one fused Pallas kernel per decoder layer (self + cross +
+MLP) to amortize invocation overhead — is NOT worth building. Evidence
+from tools/bench_phases.py across the quantization rungs (large-v3,
+B=16, cache 256, full 1500 cross ctx):
+
+    bf16              4.57 GB/step  10.93 ms  (418 GB/s effective)
+    int8 weights      3.74 GB/step  10.08 ms
+    int8 w + cache    3.42 GB/step   8.53 ms  (401 GB/s effective)
+
+Fitting t = fixed + bytes/BW over the rungs gives MARGINAL bandwidth
+~480 GB/s (≈60% of v5e peak — realistic streaming efficiency) and a
+fixed per-step component of ~1.4 ms (~13-16%): the XLA step is
+essentially read-time plus a bounded fusion/launch floor. A perfect
+fused-layer kernel could at best recover that ~13% floor, while every
+hand-written kernel below achieved HALF of XLA's bandwidth — so the
+shipped levers are the ones that cut BYTES instead: int8 rungs (249 →
+295x combined, bench.py), audio_ctx (cuts the dominant 2.1 GB cross-KV
+read 3-4x for streaming), and speculative verify blocks (amortize the
+whole read set over K tokens — batcher.spec_step).
+
 STATUS: EXPERIMENTAL — numerically correct (tested), not yet wired into the
 decode path. Measured on v5e: the (B, T-block) grid pays per-grid-step
 kernel overhead (~770 invocations per 32-layer sweep → 103 GB/s), so it

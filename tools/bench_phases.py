@@ -32,6 +32,10 @@ def main() -> int:
     cfg = get_config(model)
     params = whisper.init_params(cfg, jax.random.PRNGKey(0),
                                  dtype=jnp.bfloat16)
+    int8_w = os.environ.get("OPENHUSH_BENCH_INT8_W") == "1"
+    int8_cache = os.environ.get("OPENHUSH_BENCH_INT8_CACHE") == "1"
+    if int8_w:
+        params = whisper.quantize_decoder_weights(params)
     rng = np.random.default_rng(0)
     audio = jnp.asarray(
         0.1 * rng.standard_normal((B, mel_ops.N_SAMPLES)), jnp.float32)
@@ -47,9 +51,13 @@ def main() -> int:
 
     @jax.jit
     def decode_phase(params, xkv, prompt):
-        cache = whisper.init_kv_cache(cfg, prompt.shape[0],
-                                      dtype=jnp.bfloat16,
-                                      max_len=CACHE_LEN)
+        if int8_cache:
+            cache = whisper.init_quant_kv_cache(cfg, prompt.shape[0],
+                                                max_len=CACHE_LEN)
+        else:
+            cache = whisper.init_kv_cache(cfg, prompt.shape[0],
+                                          dtype=jnp.bfloat16,
+                                          max_len=CACHE_LEN)
         logits, cache = whisper.decode(cfg, params, prompt, jnp.int32(0),
                                        cache, xkv)
         p = prompt.shape[1]
@@ -88,7 +96,30 @@ def main() -> int:
 
     per_step_ms = t_dec / steps * 1000
     audio_secs = B * 30.0
-    print(f"model={model} B={B} steps={steps}")
+
+    # Effective decode bandwidth: bytes every step must read from HBM
+    # (decoder weights + full self-cache buffer + int8 cross-KV+scales),
+    # divided by measured per-step time.
+    import jax.tree_util as jtu
+    dec_w_bytes = sum(
+        leaf.nbytes for leaf in jtu.tree_leaves(params["decoder"]))
+    selfc_bytes = (2 * cfg.n_text_layer * B * CACHE_LEN
+                   * cfg.n_text_state * (1 if int8_cache else 2))
+    if int8_cache:
+        selfc_bytes += (2 * cfg.n_text_layer * B * CACHE_LEN
+                        * cfg.n_text_head * 4)          # scales
+    A = cfg.n_audio_ctx
+    xkv_bytes = (2 * cfg.n_text_layer * B * A * cfg.n_text_state
+                 + 2 * cfg.n_text_layer * B * A * cfg.n_text_head * 4)
+    step_bytes = dec_w_bytes + selfc_bytes + xkv_bytes
+    eff_gbs = step_bytes / (t_dec / steps) / 1e9
+
+    print(f"model={model} B={B} steps={steps} int8_w={int8_w} "
+          f"int8_cache={int8_cache}")
+    print(f"per-step read set: weights {dec_w_bytes/1e6:.0f} MB + "
+          f"self-cache {selfc_bytes/1e6:.0f} MB + "
+          f"cross-KV {xkv_bytes/1e6:.0f} MB = {step_bytes/1e6:.0f} MB")
+    print(f"effective decode bandwidth: {eff_gbs:.0f} GB/s")
     print(f"encode phase (mel+encoder+int8 xkv): {t_enc * 1000:.1f} ms "
           f"({t_enc / (t_enc + t_dec) * 100:.0f}%)")
     print(f"decode phase ({steps} steps):        {t_dec * 1000:.1f} ms "
