@@ -86,7 +86,7 @@ def cmd_transcribe(args) -> int:
 
     print("Transcribing...")
     t0 = time.monotonic()
-    batchable = (len(files) > 1 and args.beam_size is None
+    batchable = (len(files) > 1
                  and all(len(a) <= 30 * 16000 for a in audios))
     if batchable:
         results = _transcribe_batch(engine, audios, args)
@@ -139,15 +139,30 @@ def cmd_transcribe(args) -> int:
 
 def _transcribe_batch(engine, audios, args):
     """Concurrent ≤30 s files through the continuous-batching server —
-    the batch-file path (baseline config #2) where TPU batching shines."""
+    the batch-file path (baseline config #2) where TPU batching shines.
+    With --beam-size the same path runs concurrent beam GROUPS
+    (runtime/beam_server) instead of degrading to one-shot-per-file."""
     import types
 
     from openhush_tpu.runtime.server import EngineServer
 
-    server = EngineServer(engine.cfg, engine.params,
-                          n_slots=min(8, len(audios)),
-                          tokenizer=engine.tokenizer,
-                          dtype=engine.dtype)
+    from openhush_tpu.runtime.engine import TEMPERATURES
+
+    beam_size = getattr(args, "beam_size", None)
+    if beam_size:
+        from openhush_tpu.runtime.beam_server import BeamEngineServer
+        server = BeamEngineServer(engine.cfg, engine.params,
+                                  beam_size=beam_size,
+                                  n_slots=min(4, len(audios)),
+                                  tokenizer=engine.tokenizer,
+                                  dtype=engine.dtype,
+                                  temperatures=TEMPERATURES)
+    else:
+        server = EngineServer(engine.cfg, engine.params,
+                              n_slots=min(8, len(audios)),
+                              tokenizer=engine.tokenizer,
+                              dtype=engine.dtype,
+                              temperatures=TEMPERATURES)
     sid = server.open_session()
     for i, audio in enumerate(audios):
         server.submit_window(

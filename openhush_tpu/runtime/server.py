@@ -145,11 +145,8 @@ class EngineServer:
                 int8_self_cache = os.path.exists(os.path.join(
                     default_model_dir(), "int8_self_cache.ok"))
         self.room_cap = (max_decode_len or cfg.n_text_ctx) - 1
-        self.state = batcher.init_state(cfg, n_slots, dtype=dtype,
-                                        max_len=max_decode_len,
-                                        audio_ctx=self.audio_ctx,
-                                        int8_self_cache=int8_self_cache,
-                                        draft_cfg=self.draft_cfg)
+        self._init_device_state(dtype=dtype, max_len=max_decode_len,
+                                int8_self_cache=int8_self_cache)
         # Per-window preprocessing (denoise/normalize/compress/limit —
         # the reference worker's preprocess_audio, src/queue/worker.rs:196).
         self.preprocess = preprocess
@@ -341,24 +338,7 @@ class EngineServer:
         with self._lock:
             any_active = bool(self._slots)
         if any_active:
-            if self.draft_cfg is not None:
-                import os
-                self.state = batcher.spec_step(
-                    self.cfg, self.params, self.draft_cfg,
-                    self.draft_params, self.state, self._suppress,
-                    k_spec=self.k_spec,
-                    n_iters=max(1, self.inner_steps // self.k_spec),
-                    room_cap=self.room_cap,
-                    blank_token=self._blank_token,
-                    rep_threshold=self.rep_threshold,
-                    force_accept=os.environ.get(
-                        "OPENHUSH_SPEC_FORCE_ACCEPT") == "1")
-            else:
-                self.state = batcher.step(
-                    self.cfg, self.params, self.state, self._suppress,
-                    inner_steps=self.inner_steps,
-                    blank_token=self._blank_token,
-                    rep_threshold=self.rep_threshold)
+            self._step_state()
             self._turn += 1
             if (self._turn % self.harvest_every == 0
                     or (not self._ready.empty()
@@ -368,6 +348,37 @@ class EngineServer:
         return worked
 
     # -- internals ---------------------------------------------------------------
+
+    def _init_device_state(self, *, dtype, max_len, int8_self_cache) -> None:
+        """Allocate the device-side batch state (overridden by
+        BeamEngineServer to allocate beam groups instead of slots)."""
+        self.state = batcher.init_state(self.cfg, self.n_slots, dtype=dtype,
+                                        max_len=max_len,
+                                        audio_ctx=self.audio_ctx,
+                                        int8_self_cache=int8_self_cache,
+                                        draft_cfg=self.draft_cfg)
+
+    def _step_state(self) -> None:
+        """One step dispatch over the device state (overridden by
+        BeamEngineServer to advance beam groups instead of slots)."""
+        if self.draft_cfg is not None:
+            import os
+            self.state = batcher.spec_step(
+                self.cfg, self.params, self.draft_cfg,
+                self.draft_params, self.state, self._suppress,
+                k_spec=self.k_spec,
+                n_iters=max(1, self.inner_steps // self.k_spec),
+                room_cap=self.room_cap,
+                blank_token=self._blank_token,
+                rep_threshold=self.rep_threshold,
+                force_accept=os.environ.get(
+                    "OPENHUSH_SPEC_FORCE_ACCEPT") == "1")
+        else:
+            self.state = batcher.step(
+                self.cfg, self.params, self.state, self._suppress,
+                inner_steps=self.inner_steps,
+                blank_token=self._blank_token,
+                rep_threshold=self.rep_threshold)
 
     def _free_slots(self) -> list[int]:
         with self._lock:

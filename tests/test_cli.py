@@ -129,6 +129,27 @@ def test_transcribe_multiple_files_batch(tmp_path):
     assert all("file" in d and "real_time_factor" in d for d in data)
 
 
+@pytest.mark.slow
+def test_transcribe_multiple_files_beam(tmp_path):
+    """--beam-size with several files runs concurrent beam GROUPS through
+    the beam server instead of degrading to one-shot-per-file."""
+    from openhush_tpu.audio.wav import save_wav
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"b{i}.wav")
+        save_wav(p, (0.2 * rng.standard_normal(16000)).astype(np.float32))
+        paths.append(p)
+    r = run_cli("transcribe", *paths, "--model", "test", "--random-init",
+                "--dtype", "float32", "--beam-size", "2",
+                "--format", "json")
+    assert r.returncode == 0, r.stderr
+    payload = r.stdout[r.stdout.index("["):]
+    data = json.loads(payload)
+    assert len(data) == 2
+    assert all("file" in d and "real_time_factor" in d for d in data)
+
+
 def test_model_name_traversal_rejected(tmp_path, monkeypatch):
     """`model remove/download` must refuse names that escape the model
     dir (ADVICE r2: '../..' drove rmtree outside it)."""
