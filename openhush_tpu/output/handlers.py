@@ -20,6 +20,7 @@ import json
 import logging
 import shutil
 import subprocess
+import sys
 from typing import Optional
 
 from openhush_tpu.utils.http import HttpError, request_json
@@ -77,6 +78,9 @@ _CLIPBOARD_TOOLS = (
 
 
 def copy_to_clipboard(text: str) -> bool:
+    if sys.platform == "darwin" or sys.platform.startswith("win"):
+        from ..utils.platform_hosts import get_host_platform
+        return get_host_platform().copy_to_clipboard(text)
     for cmd, _ in _CLIPBOARD_TOOLS:
         if shutil.which(cmd[0]):
             try:
@@ -92,6 +96,9 @@ def copy_to_clipboard(text: str) -> bool:
 def paste_text(text: str, method: str = "type") -> bool:
     """Type text at the cursor or inject Ctrl+V
     (parity: paste.rs:43-142)."""
+    if sys.platform == "darwin" or sys.platform.startswith("win"):
+        from ..utils.platform_hosts import get_host_platform
+        return get_host_platform().paste_text(text, method)
     if method == "type":
         for tool, args in (("wtype", [text]),
                            ("xdotool", ["type", "--clearmodifiers", text])):

@@ -239,12 +239,13 @@ class Daemon:
         if fb is None:
             return
         try:
-            from openhush_tpu.utils.platform import notify, play_sound
+            from openhush_tpu.utils.platform_hosts import get_host_platform
+            host = get_host_platform()
             if fb.audio:
-                play_sound("message" if started else "bell")
+                host.play_sound("start" if started else "stop")
             if fb.visual:
-                notify("OpenHush",
-                       "Recording…" if started else "Recording stopped")
+                host.notify("OpenHush",
+                            "Recording…" if started else "Recording stopped")
         except Exception:  # noqa: BLE001 — feedback is never fatal
             pass
 
@@ -356,7 +357,8 @@ class Daemon:
         # Global hotkey (push-to-talk / toggle by config.hotkey.mode).
         self._hotkey = None
         try:
-            from openhush_tpu.runtime.hotkey import HotkeyListener
+            from openhush_tpu.runtime.hotkey_hosts import (
+                create_hotkey_listener)
             mode = self.config.hotkey.mode
             if mode == "toggle":
                 on_press, on_release = self.toggle_recording, lambda: None
@@ -365,8 +367,8 @@ class Daemon:
             else:  # push_to_talk
                 on_press, on_release = (self.start_recording,
                                         self.stop_recording)
-            hk = HotkeyListener(self.config.hotkey.key, on_press,
-                                on_release)
+            hk = create_hotkey_listener(self.config.hotkey.key, on_press,
+                                        on_release)
             if hk.start():
                 self._hotkey = hk
                 log.info("Global hotkey %s active (%s mode)",
@@ -602,9 +604,11 @@ class Daemon:
             if self.wake_detector.detected(score):
                 log.info("Wake word detected (score %.2f) — starting "
                          "continuous dictation", score)
-                from openhush_tpu.utils.platform import notify, play_sound
-                play_sound("message")      # audible cue (parity: beep)
-                notify("OpenHush", "Listening…")
+                from openhush_tpu.utils.platform_hosts import (
+                    get_host_platform)
+                host = get_host_platform()
+                host.play_sound("start")   # audible cue (parity: beep)
+                host.notify("OpenHush", "Listening…")
                 self.start_continuous()
                 return
 

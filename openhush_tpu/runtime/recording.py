@@ -239,18 +239,18 @@ def cmd_record(args: list[str]) -> int:
             print(f"Microphone capture unavailable ({e})", file=sys.stderr)
             return 1
     elif ns.source == "monitor":
-        from openhush_tpu.audio.system_audio import MonitorSource
+        from openhush_tpu.audio.system_audio_hosts import open_system_source
         try:
-            source = MonitorSource()
+            source = open_system_source()
         except RuntimeError as e:
             print(f"System-audio capture unavailable ({e})",
                   file=sys.stderr)
             return 1
     elif ns.source == "both":
-        from openhush_tpu.audio.system_audio import (MixedSource,
-                                                     MonitorSource)
+        from openhush_tpu.audio.system_audio import MixedSource
+        from openhush_tpu.audio.system_audio_hosts import open_system_source
         try:
-            source = MixedSource(SoundDeviceSource(), MonitorSource())
+            source = MixedSource(SoundDeviceSource(), open_system_source())
         except Exception as e:  # noqa: BLE001
             print(f"Mixed capture unavailable ({e})", file=sys.stderr)
             return 1
