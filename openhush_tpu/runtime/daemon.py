@@ -97,6 +97,7 @@ class DaemonStatus:
     state: str
     model: str
     queue_depth: int
+    model_loaded: bool = True
     version: str = __version__
 
 
@@ -107,9 +108,16 @@ class Daemon:
                  output: Optional[Callable[[str], None]] = None,
                  ipc_path: Optional[str] = None,
                  vad_engine: Optional[vad_mod.VadEngine] = None,
-                 chunk_interval: Optional[float] = None):
+                 chunk_interval: Optional[float] = None,
+                 server_factory: Optional[Callable[[], object]] = None):
         self.config = config
         self.server = server
+        # Rebuilds the engine server after an idle unload (parity:
+        # WorkerCommand::LoadEngine/UnloadEngine dynamic device-memory
+        # management, src/queue/worker.rs:18-25, daemon.rs:2181-2234).
+        self._server_factory = server_factory
+        self._running = False
+        self._last_activity = time.monotonic()
         self.source = audio_source
         self._handler = None
         if output is None:
@@ -217,6 +225,8 @@ class Daemon:
     # -- recording control (parity: daemon.rs:1274-1308) ----------------------
 
     def start_recording(self) -> bool:
+        if not self.ensure_model():
+            return False
         with self._lock:
             if self.state != DaemonState.IDLE:
                 return False
@@ -227,6 +237,7 @@ class Daemon:
             self.tracker.reset_dedup()
             self._session_id = self.server.open_session()
             self._last_chunk_time = time.monotonic()
+            self._last_activity = self._last_chunk_time
         log.info("Recording started (seq %d)", self._sequence)
         self._emit_recording_changed()
         self._feedback(started=True)
@@ -257,6 +268,7 @@ class Daemon:
             self.state = DaemonState.IDLE
         if state == DaemonState.RECORDING:
             self._submit_chunk(final=True)
+        self._last_activity = time.monotonic()
         log.info("Recording stopped (seq %d)", self._sequence)
         self._emit_recording_changed()
         self._feedback(started=False)
@@ -267,7 +279,70 @@ class Daemon:
             return self.start_recording()
         return self.stop_recording()
 
+    # -- dynamic model residency (parity: WorkerCommand::{Load,Unload}Engine
+    # + the idle-unload timer, daemon.rs:1155-1173,2181-2234) ------------------
+
+    @property
+    def model_loaded(self) -> bool:
+        return self.server is not None
+
+    def ensure_model(self) -> bool:
+        """Load the engine server if it was unloaded; True when usable."""
+        with self._lock:
+            if self.server is not None:
+                return True
+            factory = self._server_factory
+        if factory is None:
+            return False
+        log.info("Loading model on demand…")
+        try:
+            server = factory()
+        except Exception as e:  # noqa: BLE001 — surface as a soft failure
+            log.error("Model load failed: %s", e)
+            return False
+        with self._lock:
+            if self.server is None:
+                self.server = server
+                if self._running and hasattr(server, "start"):
+                    server.start()
+            self._last_activity = time.monotonic()
+        return True
+
+    def unload_model(self) -> bool:
+        """Free device memory while idle; reloads on the next recording.
+        No-op (False) while recording or without a rebuild factory."""
+        with self._lock:
+            if (self.state != DaemonState.IDLE or self.server is None
+                    or self._server_factory is None
+                    or self.tracker.pending_count):
+                return False
+            server, self.server = self.server, None
+            self._session_id = None
+        if hasattr(server, "stop"):
+            try:
+                server.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        del server
+        import gc
+        gc.collect()    # drop device buffers (HBM) now, not at next GC
+        log.info("Model unloaded")
+        return True
+
+    def _idle_check(self, now: float) -> None:
+        idle_secs = getattr(self.config.transcription,
+                            "idle_unload_secs", 0)
+        if (idle_secs > 0 and self.state == DaemonState.IDLE
+                and self.server is not None
+                and self._server_factory is not None
+                and now - self._last_activity >= idle_secs):
+            if self.unload_model():
+                log.info("Unloaded model after %.0f s of inactivity",
+                         now - self._last_activity)
+
     def start_continuous(self) -> bool:
+        if not self.ensure_model():
+            return False
         with self._lock:
             if self.state != DaemonState.IDLE:
                 return False
@@ -401,7 +476,8 @@ class Daemon:
         except Exception as e:  # noqa: BLE001
             log.info("D-Bus unavailable (%s); socket/REST control only", e)
         self.source.start(self._on_audio)
-        if hasattr(self.server, "start"):
+        self._running = True
+        if self.server is not None and hasattr(self.server, "start"):
             self.server.start()
         # SIGHUP → config reload (parity: daemon.rs:1240-1244,417-428);
         # SIGTERM/SIGINT → graceful stop. Only from the main thread.
@@ -413,12 +489,17 @@ class Daemon:
                           lambda *a: self._stop_event.set())
         started = time.monotonic()
         self._last_chunk_time = started
+        self._last_activity = started
         last_vad_tick = started
+        last_idle_check = started
         try:
             while not self._stop_event.is_set():
                 now = time.monotonic()
                 if max_runtime and now - started > max_runtime:
                     break
+                if now - last_idle_check >= 10.0:
+                    last_idle_check = now
+                    self._idle_check(now)
                 if self.state == DaemonState.RECORDING and \
                         now - self._last_chunk_time >= self.chunk_interval:
                     self._submit_chunk()
@@ -439,11 +520,12 @@ class Daemon:
 
     def shutdown(self) -> None:
         self._stop_event.set()
+        self._running = False
         try:
             self.source.stop()
         except Exception:
             pass
-        if hasattr(self.server, "stop"):
+        if self.server is not None and hasattr(self.server, "stop"):
             self.server.stop()
         if getattr(self, "_api", None) is not None:
             self._api.stop()
@@ -505,8 +587,11 @@ class Daemon:
             return ("b", self.stop_recording())
         if member == "ToggleRecording":
             return ("b", self.toggle_recording())
-        if member in ("LoadModel", "UnloadModel"):
-            return ("b", True)   # engine server keeps the model resident
+        if member == "LoadModel":
+            return ("b", self.ensure_model())
+        if member == "UnloadModel":
+            return ("b", (True if self._server_factory is None
+                          else self.unload_model()))
         if member == "GetStatus":
             return ("s", json.dumps(dataclasses.asdict(self.status())))
         if member == "GetQueueDepth":
@@ -615,12 +700,13 @@ class Daemon:
     # -- results → output -----------------------------------------------------------
 
     def _drain_results(self) -> None:
-        if self._session_id is None:
+        if self._session_id is None or self.server is None:
             return
         while True:
             res = self.server.poll(self._session_id)
             if res is None:
                 break
+            self._last_activity = time.monotonic()
             seq, chunk, final = self._unpack(res.window_id)
             self.tracker.add_result(ChunkResult(
                 text=res.text.strip(), sequence_id=seq, chunk_id=chunk,
@@ -687,14 +773,16 @@ class Daemon:
             recording=self.state != DaemonState.IDLE,
             state=self.state.value,
             model=self.config.transcription.effective_model(),
-            queue_depth=self.tracker.pending_count)
+            queue_depth=self.tracker.pending_count,
+            model_loaded=self.model_loaded)
 
     def _handle_ipc(self, request: dict) -> dict:
         cmd = request.get("cmd", "")
         if cmd == "status":
             s = self.status()
             return {"ok": True, "running": True, "recording": s.recording,
-                    "model_loaded": True, "version": s.version,
+                    "model_loaded": self.model_loaded,
+                    "version": s.version,
                     "state": s.state, "queue_depth": s.queue_depth}
         if cmd == "stop":
             self._stop_event.set()
@@ -711,8 +799,14 @@ class Daemon:
             return {"ok": True, "queue_depth": self.tracker.pending_count}
         if cmd == "version":
             return {"ok": True, "version": __version__}
-        if cmd in ("load_model", "unload_model"):
-            return {"ok": True}  # engine server keeps the model resident
+        if cmd == "load_model":
+            return {"ok": self.ensure_model()}
+        if cmd == "unload_model":
+            # Without a rebuild factory (embedded/test daemons) the model
+            # must stay resident: report ok=True, loaded stays True.
+            if self._server_factory is None:
+                return {"ok": True}
+            return {"ok": self.unload_model()}
         if cmd == "reload":
             self.reload_config()
             return {"ok": True}
@@ -786,29 +880,54 @@ def _build_daemon(foreground: bool = True) -> Daemon:
                         allow_random_init=allow_random,
                         draft_model=config.transcription.draft_model
                         or None)
+    # Streaming chunk interval: configured value, or auto-tuned from a
+    # measured 2 s-silence transcription (parity: WhisperEngine::benchmark
+    # overhead × (1 + chunk_safety_margin), src/engine/whisper.rs:329-382).
+    # Random-init dev mode skips the measurement (fixed 5 s) — it would
+    # time an untrained model just to slow test startup.
+    if config.queue.chunk_interval_secs > 0:
+        chunk_secs = config.queue.chunk_interval_secs
+    elif getattr(eng, "random_init", False):
+        chunk_secs = 5.0
+    else:
+        chunk_secs = eng.benchmark_chunk_interval(
+            margin=getattr(config.queue, "chunk_safety_margin", 0.2))
+        log.info("Auto-tuned chunk interval: %.2f s", chunk_secs)
     # Size the encoder context to the streaming chunk length (whisper.cpp
     # audio_ctx knob): ~50 positions/s with headroom, 64-aligned. VAD
     # segments longer than the window are split at submission.
-    chunk_secs = (config.queue.chunk_interval_secs
-                  if config.queue.chunk_interval_secs > 0 else 5.0)
     audio_ctx = min(1500, max(256, int(-(-chunk_secs * 50 * 2 // 64)) * 64))
     preprocess = build_preprocess(config.audio)
-    # Random-init dev mode: neutralize the quality-fallback ladder —
-    # untrained logits sit at avg_logprob ~ -log(V) and would send every
-    # window through all ladder temperatures.
-    guards = ({} if not getattr(eng, "random_init", False)
-              else dict(temperatures=(0.0,), logprob_threshold=-1e9,
-                        no_speech_threshold=2.0))
-    server = EngineServer(eng.cfg, eng.params, tokenizer=eng.tokenizer,
-                          audio_ctx=audio_ctx, max_decode_len=256,
-                          preprocess=preprocess, **guards)
+
+    first_engine = [eng]
+
+    def make_server():
+        """Builds (or rebuilds, after an idle unload) the engine server.
+        The first call reuses the engine loaded above; later calls reload
+        the checkpoint from disk."""
+        e = first_engine.pop() if first_engine else WhisperEngine(
+            model, language=config.transcription.language,
+            allow_random_init=allow_random,
+            draft_model=config.transcription.draft_model or None)
+        # Random-init dev mode: neutralize the quality-fallback ladder —
+        # untrained logits sit at avg_logprob ~ -log(V) and would send
+        # every window through all ladder temperatures.
+        guards = ({} if not getattr(e, "random_init", False)
+                  else dict(temperatures=(0.0,), logprob_threshold=-1e9,
+                            no_speech_threshold=2.0))
+        return EngineServer(e.cfg, e.params, tokenizer=e.tokenizer,
+                            audio_ctx=audio_ctx, max_decode_len=256,
+                            preprocess=preprocess, **guards)
+
+    server = make_server()
     try:
         source = SoundDeviceSource(device=config.audio.device or None,
                                    channels=config.audio.channels or None)
     except Exception as e:
         log.warning("No audio capture available (%s); using silence", e)
         source = NullSource()
-    return Daemon(config, server, source)
+    return Daemon(config, server, source, chunk_interval=chunk_secs,
+                  server_factory=make_server)
 
 
 def cmd_start(args: list[str]) -> int:

@@ -37,6 +37,10 @@ class TranscriptionConfig:
     # sharing the model's encoder, e.g. "large-v3-turbo" for large-v3.
     # Empty = off. Token-exact; speed-only.
     draft_model: str = ""
+    # Unload the model from device memory after this many seconds of
+    # inactivity; 0 = keep resident (parity: transcription.
+    # idle_unload_secs, src/config.rs:667,1156; daemon.rs:2181-2234).
+    idle_unload_secs: int = 0
 
     PRESETS = {"instant": "small", "balanced": "medium",
                "quality": "large-v3"}
@@ -80,6 +84,9 @@ class QueueConfig:
     max_pending: int = 10
     backpressure: str = "drop_oldest"   # drop_oldest|drop_newest|warn
     chunk_interval_secs: float = 0.0     # <=0 → auto-tune at startup
+    # Auto-tuned interval = measured overhead × (1 + margin) (parity:
+    # chunk_safety_margin, src/config.rs:892-895,1094).
+    chunk_safety_margin: float = 0.2
     separator: str = " "                 # joiner between pasted chunks
 
 

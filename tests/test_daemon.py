@@ -232,3 +232,74 @@ def test_recording_changed_emitted_on_all_paths(server, tmp_path):
     assert emitted == [True, False, True]
     d.stop_recording()
     d._dbus = None
+
+
+def test_idle_unload_and_reload(server, tmp_path):
+    """Idle unload frees the server and the next recording reloads it via
+    the factory (parity: idle_unload_secs + WorkerCommand::{Load,Unload}
+    Engine, src/daemon.rs:1155-1173,2181-2234)."""
+    outputs = []
+    d = _make_daemon(server, tmp_path, outputs)
+    d.config.transcription.idle_unload_secs = 1
+    built = []
+
+    def factory():
+        built.append(1)
+        return server
+    d._server_factory = factory
+
+    # While recording the unload must refuse.
+    d.ring.push(_audio(1.0))
+    assert d.start_recording()
+    assert not d.unload_model()
+    assert d.stop_recording()
+    for _ in range(200):
+        server.run_once()
+        d._drain_results()
+        if d.tracker.is_empty():
+            break
+    assert d.tracker.is_empty()
+    d._session_id = None
+
+    # Not yet idle long enough.
+    d._last_activity = time.monotonic()
+    d._idle_check(time.monotonic())
+    assert d.model_loaded
+
+    # Past the deadline: unloads.
+    d._idle_check(time.monotonic() + 5.0)
+    assert not d.model_loaded
+    s = d.status()
+    assert not s.model_loaded
+
+    # Next recording transparently reloads through the factory.
+    d.ring.push(_audio(1.0))
+    assert d.start_recording()
+    assert built == [1]
+    assert d.model_loaded
+    d.stop_recording()
+
+
+def test_ipc_load_unload_model(server, tmp_path):
+    outputs = []
+    d = _make_daemon(server, tmp_path, outputs)
+    # No factory: unload reports ok but keeps the model resident.
+    assert d._handle_ipc({"cmd": "unload_model"}) == {"ok": True}
+    assert d.model_loaded
+    d._server_factory = lambda: server
+    assert d._handle_ipc({"cmd": "unload_model"})["ok"]
+    assert not d.model_loaded
+    assert not d._handle_ipc({"cmd": "status"})["model_loaded"]
+    assert d._handle_ipc({"cmd": "load_model"})["ok"]
+    assert d.model_loaded
+
+
+def test_start_without_model_or_factory_fails(tmp_path):
+    cfg = Config()
+    cfg.transcription.model = "test"
+    src = FileSource(_audio(), realtime=False)
+    d = Daemon(cfg, None, src, output=lambda t: None,
+               ipc_path=str(tmp_path / "t.sock"), chunk_interval=0.2)
+    assert not d.model_loaded
+    assert not d.start_recording()
+    assert not d.start_continuous()
