@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -302,8 +303,24 @@ def quantize_decoder_weights(params: Params) -> Params:
     return out
 
 
+def _gelu(x):
+    """GELU for the conv stem and MLPs.
+
+    openai-whisper evaluates the exact erf GELU; whisper.cpp — the
+    engine the reference actually ships (src/engine/whisper.rs:159-287)
+    — evaluates GGML's tanh-approximation (lookup-table) GELU. The two
+    differ by <3e-3 per activation. Default is exact erf (keeps the
+    torch-parity suite byte-honest); OPENHUSH_GELU=tanh selects the
+    whisper.cpp-style approximation — measured 68 ms (-16%) off a
+    large-v3 B=16 encode on v5e (tools/encoder_phases.py), erf being
+    VPU-transcendental-bound. Read at trace time: set before the first
+    forward pass of the process."""
+    approx = os.environ.get("OPENHUSH_GELU", "erf") == "tanh"
+    return jax.nn.gelu(x, approximate=approx)
+
+
 def _mlp(x, lp):
-    h = jax.nn.gelu(_mm(x, lp["fc1_w"]) + lp["fc1_b"], approximate=False)
+    h = _gelu(_mm(x, lp["fc1_w"]) + lp["fc1_b"])
     return _mm(h, lp["fc2_w"]) + lp["fc2_b"]
 
 
@@ -322,10 +339,10 @@ def encode(cfg: WhisperConfig, params: Params, mel: jax.Array) -> jax.Array:
     dn = ("NHC", "HIO", "NHC")
     x = jax.lax.conv_general_dilated(x, enc["conv1_w"], (1,), [(1, 1)],
                                      dimension_numbers=dn)
-    x = jax.nn.gelu(x + enc["conv1_b"], approximate=False)
+    x = _gelu(x + enc["conv1_b"])
     x = jax.lax.conv_general_dilated(x, enc["conv2_w"], (2,), [(1, 1)],
                                      dimension_numbers=dn)
-    x = jax.nn.gelu(x + enc["conv2_b"], approximate=False)
+    x = _gelu(x + enc["conv2_b"])
     x = x + enc["pos_emb"][None, : x.shape[1]].astype(x.dtype)
 
     n_head = cfg.n_audio_head
@@ -411,10 +428,21 @@ jax.tree_util.register_pytree_node(
 
 def _quantize_heads(x: jax.Array, n_head: int
                     ) -> tuple[jax.Array, jax.Array]:
-    """x [B, T, H*D] → (int8 [B, T, H*D], per-(t,head) scales [B, T, H])."""
+    """x [B, T, H*D] → (int8 [B, T, H*D], per-(t,head) scales [B, T, H]).
+
+    On TPU the bulk path (cross-KV, T=1500) runs the fused Pallas kernel
+    (ops/quantize_pallas.py, bit-identical, ~6x less wall time than the
+    XLA reshape-to-[...,H,64] lowering); tiny/odd shapes and other
+    backends use the XLA formulation below."""
+    from openhush_tpu.ops import quantize_pallas as _qp
+    if _qp.quantize_ok(x, n_head):
+        return _qp.quantize_heads_pallas(x, n_head)
     B, T, HD = x.shape
     x32 = x.astype(jnp.float32).reshape(B, T, n_head, HD // n_head)
-    scale = jnp.max(jnp.abs(x32), axis=-1) / 127.0        # [B, T, H]
+    # *(1/127) not /127: matches the Pallas kernel's scale rounding
+    # bit-exactly (XLA's simplifier applies the reciprocal rewrite only
+    # sometimes, which would skew scales by one ULP between the paths).
+    scale = jnp.max(jnp.abs(x32), axis=-1) * jnp.float32(1.0 / 127.0)
     safe = jnp.maximum(scale, 1e-10)
     q = jnp.clip(jnp.round(x32 / safe[..., None]), -127, 127
                  ).astype(jnp.int8).reshape(B, T, HD)

@@ -424,8 +424,8 @@ class Daemon:
         self._tray = None
         if enable_tray:
             try:
-                from openhush_tpu.ui.tray import SniTray
-                self._tray = SniTray()
+                from openhush_tpu.ui.tray_windows import create_tray
+                self._tray = create_tray()
                 log.info("System tray initialized")
             except Exception as e:  # noqa: BLE001
                 log.info("System tray unavailable (%s); continuing", e)
