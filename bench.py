@@ -5,6 +5,10 @@ frontend → encoder → cross-KV → 128 KV-cached greedy decode steps — for 
 batch of 30 s windows (the continuous-batching serving shape). 128 decode
 steps/window is deliberately conservative: real speech yields ~75-90 tokens
 per 30 s window, so reported throughput UNDERSTATES end-to-end performance.
+Headline batch is 32 (larger batches amortize the per-step weight read;
+measured +13% over B=16); the serving section runs 16 slots — 32 slots of
+device state don't fit this chip's HBM — and reports its overhead ratio
+against a raw loop at the same batch.
 
 Baseline (BASELINE.md): reference large-v3 runs 12.5x real-time on an RTX
 3090 (RTF 0.08, wiki/User-Guide.md:681). vs_baseline = ours_x / 12.5.
@@ -39,7 +43,13 @@ from openhush_tpu.ops import frontend_pallas
 from openhush_tpu.ops import mel as mel_ops
 
 MODEL = os.environ.get("OPENHUSH_BENCH_MODEL", "large-v3")
-BATCH = int(os.environ.get("OPENHUSH_BENCH_BATCH", "16"))
+BATCH = int(os.environ.get("OPENHUSH_BENCH_BATCH", "32"))
+# Serving runs fewer slots than the raw headline batch: 32 slots of
+# device state alongside the weights exhausts this chip's HBM (measured
+# RESOURCE_EXHAUSTED), and the serving/raw ratio is only meaningful at
+# matched batch — so serving is compared against a raw run at the same B.
+SERVE_SLOTS = int(os.environ.get("OPENHUSH_BENCH_SERVE_SLOTS",
+                                 str(min(BATCH, 16))))
 DECODE_STEPS = int(os.environ.get("OPENHUSH_BENCH_DECODE_STEPS", "128"))
 CACHE_LEN = 256   # decode cache right-sized to prompt+steps (tile-rounded)
 BASELINE_X_REALTIME = 12.5   # reference large-v3 on RTX 3090
@@ -98,19 +108,19 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
         os.environ.pop("OPENHUSH_SPEC_FORCE_ACCEPT", None)
     prompt_len = 4           # [sot, lang, transcribe, notimestamps]
     server = EngineServer(
-        cfg, params, n_slots=BATCH, inner_steps=8,
+        cfg, params, n_slots=SERVE_SLOTS, inner_steps=8,
         max_decode_len=prompt_len + DECODE_STEPS + 1,
         temperatures=(0.0,), logprob_threshold=-1e9,
         no_speech_threshold=2.0,
         draft=draft, k_spec=k_spec,
         harvest_every=int(os.environ.get("OPENHUSH_BENCH_HARVEST",
                                          "4")),
-        max_admissions_per_turn=BATCH)
+        max_admissions_per_turn=SERVE_SLOTS)
     # Suppress EOT: windows run to the decode budget deterministically.
     eot = server.tokenizer.special.eot
     server._suppress = server._suppress.at[eot].set(True)
 
-    n_windows = n_windows or 2 * BATCH
+    n_windows = n_windows or 2 * SERVE_SLOTS
     rng = np.random.default_rng(1)
     audios = [np.asarray(0.1 * rng.standard_normal(mel_ops.N_SAMPLES),
                          np.float32) for _ in range(min(4, n_windows))]
@@ -155,7 +165,7 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
         # emitted/iter = 1 + (k-1)*accept. Dispatches overcount when
         # slots sit partially full, so this UNDERSTATES acceptance; it
         # is exact in the fully-batched steady state.
-        per_iter = total_tokens / (dispatches * n_iters * BATCH)
+        per_iter = total_tokens / (dispatches * n_iters * SERVE_SLOTS)
         accept = max(0.0, min(1.0, (per_iter - 1) / max(k_spec - 1, 1)))
     else:
         accept = float("nan")
@@ -171,30 +181,31 @@ def main() -> None:
         # Same knob as the engine's OPENHUSH_INT8_WEIGHTS production path.
         params = whisper.quantize_decoder_weights(params)
     rng = np.random.default_rng(0)
-    audio = jnp.asarray(
-        0.1 * rng.standard_normal((BATCH, mel_ops.N_SAMPLES)), jnp.float32)
-    prompt = jnp.tile(jnp.asarray([[50258, 50259, 50360]], jnp.int32),
-                      (BATCH, 1))
-
     bench_step = make_bench_step(cfg)
 
-    def run_sync():
-        # Force completion with a host transfer: on this env's axon backend
-        # block_until_ready returns before execution finishes, so a (tiny)
-        # device→host read of the result is the only reliable fence.
-        return np.asarray(bench_step(params, audio, prompt)[0, :1])
+    def raw_x_realtime(batch: int) -> float:
+        """min-of-3 raw-loop throughput at a given batch."""
+        audio = jnp.asarray(0.1 * rng.standard_normal(
+            (batch, mel_ops.N_SAMPLES)), jnp.float32)
+        prompt = jnp.tile(jnp.asarray([[50258, 50259, 50360]], jnp.int32),
+                          (batch, 1))
 
-    run_sync()  # warm up / compile
-    run_sync()
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
+        def run_sync():
+            # Force completion with a host transfer: on this env's axon
+            # backend block_until_ready returns before execution finishes,
+            # so a (tiny) device→host read is the only reliable fence.
+            return np.asarray(bench_step(params, audio, prompt)[0, :1])
+
+        run_sync()  # warm up / compile
         run_sync()
-        times.append(time.perf_counter() - t0)
-    wall = min(times)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run_sync()
+            times.append(time.perf_counter() - t0)
+        return batch * WINDOW_SECS / min(times)
 
-    audio_secs = BATCH * WINDOW_SECS
-    x_realtime = audio_secs / wall
+    x_realtime = raw_x_realtime(BATCH)
     out = {
         "metric": f"{MODEL}_throughput_b{BATCH}_d{DECODE_STEPS}",
         "value": round(x_realtime, 2),
@@ -213,9 +224,15 @@ def main() -> None:
         try:
             import dataclasses
 
+            # Serving runs SERVE_SLOTS slots; its overhead ratio is
+            # against a raw loop at the SAME batch.
+            raw_serve = (x_realtime if SERVE_SLOTS == BATCH
+                         else raw_x_realtime(SERVE_SLOTS))
+            if SERVE_SLOTS != BATCH:
+                out[f"raw_b{SERVE_SLOTS}_x_realtime"] = round(raw_serve, 2)
             serving_x, tps, _ = serving_bench(cfg, params)
             out["serving_x_realtime"] = round(serving_x, 2)
-            out["serving_frac_of_raw"] = round(serving_x / x_realtime, 3)
+            out["serving_frac_of_raw"] = round(serving_x / raw_serve, 3)
             out["serving_tokens_per_sec"] = round(tps, 1)
 
             if time.monotonic() > deadline:
