@@ -151,7 +151,9 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
             server.close_session(sid)
         return wall, total_tokens, active_dispatches
 
-    run(min(2, n_windows))                      # warm up / compile
+    # Warm with a FULL batch so every admit-group size the main run uses
+    # is compiled outside the timed window.
+    run(min(SERVE_SLOTS, n_windows))
     wall, total_tokens, dispatches = run(n_windows)
     audio_secs = n_windows * WINDOW_SECS
     # Free this server's device state eagerly: three serving configs run

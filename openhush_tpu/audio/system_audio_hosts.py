@@ -179,7 +179,7 @@ class _DeviceLoopbackSource:
         info = sd.query_devices(device)
         native_rate = int(info.get("default_samplerate")
                           or 48_000)
-        channels = max(1, min(2, int(info.get("max_input_channels", 1))))
+        channels = self._channels(info)
         resampler = (StreamResampler(native_rate, self.sample_rate)
                      if native_rate != self.sample_rate else None)
 
@@ -203,6 +203,9 @@ class _DeviceLoopbackSource:
 
     def _extra_settings(self, sd) -> dict:
         return {}
+
+    def _channels(self, info: dict) -> int:
+        return max(1, min(2, int(info.get("max_input_channels", 1))))
 
     def stop(self) -> None:
         with self._lock:
@@ -238,6 +241,14 @@ class WasapiLoopbackSource(_DeviceLoopbackSource):
         if getattr(self, "_force_loopback", False):
             return {"extra_settings": sd.WasapiSettings(loopback=True)}
         return {}
+
+    def _channels(self, info: dict) -> int:
+        if getattr(self, "_force_loopback", False):
+            # Loopback taps the default RENDER device: WASAPI requires
+            # the render mix format's channel count (max_input_channels
+            # is 0 on an output device).
+            return max(1, min(2, int(info.get("max_output_channels", 2))))
+        return super()._channels(info)
 
 
 def _wasapi_supports_loopback(sd) -> bool:

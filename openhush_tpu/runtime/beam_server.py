@@ -68,10 +68,11 @@ class BeamEngineServer(EngineServer):
     # -- admission --------------------------------------------------------------
 
     def _group_rng(self, info: _SlotInfo) -> np.ndarray:
-        """Per-row sampling keys [K, 2] for the best-of retry rungs."""
-        keys = jax.random.split(jax.random.PRNGKey(
-            (info.session_id * 1000003 + info.window_id * 101
-             + info.temp_idx) & 0x7FFFFFFF), self.beam_size)
+        """Per-row sampling keys [K, 2] for the best-of retry rungs —
+        split from the shared slot_seed stream (server.py)."""
+        from openhush_tpu.runtime.server import slot_seed
+        keys = jax.random.split(jax.random.PRNGKey(slot_seed(info)),
+                                self.beam_size)
         return np.asarray(jax.random.key_data(keys), np.uint32)
 
     def _install(self, slot: int, info: _SlotInfo, xkv=None,

@@ -116,6 +116,10 @@ class Daemon:
         # WorkerCommand::LoadEngine/UnloadEngine dynamic device-memory
         # management, src/queue/worker.rs:18-25, daemon.rs:2181-2234).
         self._server_factory = server_factory
+        # Serializes server load/unload/final-submit so an idle unload
+        # can't pull the server out from under an in-flight submission
+        # (never nested inside self._lock — take it first).
+        self._model_lock = threading.Lock()
         self._running = False
         self._last_activity = time.monotonic()
         self.source = audio_source
@@ -228,7 +232,7 @@ class Daemon:
         if not self.ensure_model():
             return False
         with self._lock:
-            if self.state != DaemonState.IDLE:
+            if self.state != DaemonState.IDLE or self.server is None:
                 return False
             self.state = DaemonState.RECORDING
             self._sequence += 1
@@ -267,7 +271,11 @@ class Daemon:
             state = self.state
             self.state = DaemonState.IDLE
         if state == DaemonState.RECORDING:
-            self._submit_chunk(final=True)
+            # Under the model lock: state is already IDLE here, so an
+            # idle/IPC unload could otherwise race the final submit.
+            with self._model_lock:
+                if self.server is not None:
+                    self._submit_chunk(final=True)
         self._last_activity = time.monotonic()
         log.info("Recording stopped (seq %d)", self._sequence)
         self._emit_recording_changed()
@@ -287,45 +295,48 @@ class Daemon:
         return self.server is not None
 
     def ensure_model(self) -> bool:
-        """Load the engine server if it was unloaded; True when usable."""
-        with self._lock:
-            if self.server is not None:
+        """Load the engine server if it was unloaded; True when usable.
+        Concurrent callers (IPC load + hotkey start) build at most ONE
+        server: the factory runs under the model lock, losers reuse it."""
+        if self.server is not None:
+            return True
+        if self._server_factory is None:
+            return False
+        with self._model_lock:
+            if self.server is not None:   # built while we waited
                 return True
-            factory = self._server_factory
-        if factory is None:
-            return False
-        log.info("Loading model on demand…")
-        try:
-            server = factory()
-        except Exception as e:  # noqa: BLE001 — surface as a soft failure
-            log.error("Model load failed: %s", e)
-            return False
-        with self._lock:
-            if self.server is None:
+            log.info("Loading model on demand…")
+            try:
+                server = self._server_factory()
+            except Exception as e:  # noqa: BLE001 — soft failure
+                log.error("Model load failed: %s", e)
+                return False
+            with self._lock:
                 self.server = server
-                if self._running and hasattr(server, "start"):
-                    server.start()
-            self._last_activity = time.monotonic()
+                self._last_activity = time.monotonic()
+            if self._running and hasattr(server, "start"):
+                server.start()
         return True
 
     def unload_model(self) -> bool:
         """Free device memory while idle; reloads on the next recording.
         No-op (False) while recording or without a rebuild factory."""
-        with self._lock:
-            if (self.state != DaemonState.IDLE or self.server is None
-                    or self._server_factory is None
-                    or self.tracker.pending_count):
-                return False
-            server, self.server = self.server, None
-            self._session_id = None
-        if hasattr(server, "stop"):
-            try:
-                server.stop()
-            except Exception:  # noqa: BLE001
-                pass
-        del server
-        import gc
-        gc.collect()    # drop device buffers (HBM) now, not at next GC
+        with self._model_lock:
+            with self._lock:
+                if (self.state != DaemonState.IDLE or self.server is None
+                        or self._server_factory is None
+                        or self.tracker.pending_count):
+                    return False
+                server, self.server = self.server, None
+                self._session_id = None
+            if hasattr(server, "stop"):
+                try:
+                    server.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+            del server
+            import gc
+            gc.collect()  # drop device buffers (HBM) now, not at next GC
         log.info("Model unloaded")
         return True
 
@@ -344,7 +355,7 @@ class Daemon:
         if not self.ensure_model():
             return False
         with self._lock:
-            if self.state != DaemonState.IDLE:
+            if self.state != DaemonState.IDLE or self.server is None:
                 return False
             self.state = DaemonState.CONTINUOUS
             self._sequence += 1
@@ -375,7 +386,12 @@ class Daemon:
     def _submit_audio(self, audio: np.ndarray, final: bool) -> None:
         """Submit audio, splitting anything longer than the server's
         (audio_ctx-restricted) window."""
-        max_window = getattr(self.server, "audio_ctx", 1500) * 2 * 160
+        # Snapshot: an unload on another thread nulls self.server, but a
+        # local reference keeps this submission safe end-to-end.
+        server, session_id = self.server, self._session_id
+        if server is None or session_id is None:
+            return
+        max_window = getattr(server, "audio_ctx", 1500) * 2 * 160
         pieces = [audio[i:i + max_window]
                   for i in range(0, max(1, len(audio)), max_window)]
         for j, piece in enumerate(pieces):
@@ -385,8 +401,8 @@ class Daemon:
                 max_pending=self.config.queue.max_pending,
                 strategy=self.config.queue.backpressure)
             if accepted:
-                self.server.submit_window(
-                    self._session_id, piece,
+                server.submit_window(
+                    session_id, piece,
                     window_id=self._pack(self._sequence, self._chunk_id,
                                          is_last),
                     language=self.config.transcription.language,
@@ -700,10 +716,13 @@ class Daemon:
     # -- results → output -----------------------------------------------------------
 
     def _drain_results(self) -> None:
-        if self._session_id is None or self.server is None:
+        # Snapshot against a concurrent unload (poll on a stopped server
+        # only reads host-side queues, so a stale local ref is safe).
+        server, session_id = self.server, self._session_id
+        if session_id is None or server is None:
             return
         while True:
-            res = self.server.poll(self._session_id)
+            res = server.poll(session_id)
             if res is None:
                 break
             self._last_activity = time.monotonic()

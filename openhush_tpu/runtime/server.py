@@ -56,6 +56,15 @@ def compression_ratio(text: str) -> float:
     return len(data) / len(zlib.compress(data))
 
 
+def slot_seed(info) -> int:
+    """Deterministic per-(session, window, temperature-rung) PRNG seed —
+    the SINGLE source of truth for plain installs, batched installs, and
+    beam groups (beam_server splits this key); retry determinism depends
+    on all paths deriving the same stream."""
+    return (info.session_id * 1000003 + info.window_id * 101
+            + info.temp_idx) & 0x7FFFFFFF
+
+
 @dataclasses.dataclass
 class _Pending:
     session_id: int
@@ -410,30 +419,32 @@ class EngineServer:
                       job.session_id, job.window_id, slot)
         # Windows prepared in the same batch (same xkv buffers) install
         # in ONE dispatch (batcher.admit_many) — a join burst costs one
-        # admit instead of one per window.
+        # admit instead of one per window. Prompt lengths are computed
+        # once per entry (not re-derived per comparison), and batched
+        # installs are chunked to power-of-two group sizes so the jitted
+        # prefill graph compiles for at most log2(n_slots) shapes instead
+        # of one per burst size ever seen.
+        tok = self.tokenizer
+        plens = [len(tok.sot_sequence(info.language, info.task,
+                                      timestamps=info.timestamps))
+                 for _, info, *_ in picked]
         i = 0
         while i < len(picked):
             group = [picked[i]]
-            tok = self.tokenizer
-            plen = len(tok.sot_sequence(picked[i][1].language,
-                                        picked[i][1].task,
-                                        timestamps=picked[i][1]
-                                        .timestamps))
             while (i + len(group) < len(picked)
                    and picked[i + len(group)][2] is picked[i][2]
-                   and len(tok.sot_sequence(
-                       picked[i + len(group)][1].language,
-                       picked[i + len(group)][1].task,
-                       timestamps=picked[i + len(group)][1].timestamps))
-                   == plen):
+                   and plens[i + len(group)] == plens[i]):
                 group.append(picked[i + len(group)])
-            if len(group) == 1:
-                slot, info, xkv, row, dxkv = group[0]
-                self._install(slot, info, xkv=xkv, row=row, dxkv=dxkv)
-            else:
-                self._install_many(group)
-            admitted = True
             i += len(group)
+            admitted = True
+            while group:
+                k = 1 << (len(group).bit_length() - 1)   # ≤ len(group)
+                chunk, group = group[:k], group[k:]
+                if len(chunk) == 1:
+                    slot, info, xkv, row, dxkv = chunk[0]
+                    self._install(slot, info, xkv=xkv, row=row, dxkv=dxkv)
+                else:
+                    self._install_many(chunk)
         return admitted
 
     def _prepare_many(self, jobs: list[_Pending]) -> None:
@@ -484,10 +495,7 @@ class EngineServer:
                                   timestamps=info.timestamps)
         info.prompt_len = len(prompt)
         temp = float(self.temperatures[info.temp_idx])
-        rng = np.asarray(
-            jax.random.key_data(jax.random.PRNGKey(
-                (info.session_id * 1000003 + info.window_id * 101
-                 + info.temp_idx) & 0x7FFFFFFF)), np.uint32)
+        rng = self._rng_for(info)
         if xkv is not None:
             self.state = batcher.admit(
                 self.cfg, self.params, self.state, jnp.int32(slot), xkv,
@@ -511,9 +519,8 @@ class EngineServer:
 
     def _rng_for(self, info: _SlotInfo) -> np.ndarray:
         return np.asarray(
-            jax.random.key_data(jax.random.PRNGKey(
-                (info.session_id * 1000003 + info.window_id * 101
-                 + info.temp_idx) & 0x7FFFFFFF)), np.uint32)
+            jax.random.key_data(jax.random.PRNGKey(slot_seed(info))),
+            np.uint32)
 
     def _install_many(self, group) -> None:
         """One-dispatch install of k same-prep-batch windows."""

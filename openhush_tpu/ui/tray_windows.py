@@ -140,6 +140,7 @@ class WindowsTray:
             self._kernel32 = ctypes.WinDLL("kernel32")  # type: ignore[attr-defined]
         except (OSError, AttributeError) as e:
             raise TrayError(f"Win32 tray unavailable: {e}") from e
+        self._declare_signatures()
         self._status = TrayStatus.IDLE
         self.events: queue.Queue[TrayEvent] = queue.Queue()
         self._hwnd = None
@@ -180,6 +181,40 @@ class WindowsTray:
         self._thread.join(timeout=3)
 
     # -- internals -----------------------------------------------------------
+
+    def _declare_signatures(self) -> None:
+        """Explicit restypes/argtypes: ctypes defaults to c_int, which
+        truncates 64-bit handles (HWND/HICON/HINSTANCE/LRESULT) — with
+        high-entropy ASLR the module base and window handles routinely
+        exceed 4 GB on 64-bit Windows."""
+        u, k = self._user32, self._kernel32
+        vp, ui = ctypes.c_void_p, ctypes.c_uint32
+        k.GetModuleHandleW.restype = vp
+        k.GetModuleHandleW.argtypes = [ctypes.c_wchar_p]
+        u.RegisterClassW.restype = ctypes.c_uint16
+        u.CreateWindowExW.restype = vp
+        u.CreateWindowExW.argtypes = [
+            ui, ctypes.c_wchar_p, ctypes.c_wchar_p, ui,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            vp, vp, vp, vp]
+        u.LoadIconW.restype = vp
+        u.LoadIconW.argtypes = [vp, ctypes.c_wchar_p]
+        u.DefWindowProcW.restype = ctypes.c_ssize_t
+        u.DefWindowProcW.argtypes = [vp, ui, ctypes.c_size_t,
+                                     ctypes.c_ssize_t]
+        u.CreatePopupMenu.restype = vp
+        u.AppendMenuW.argtypes = [vp, ui, ctypes.c_size_t,
+                                  ctypes.c_wchar_p]
+        u.TrackPopupMenu.restype = ctypes.c_int
+        u.TrackPopupMenu.argtypes = [vp, ui, ctypes.c_int, ctypes.c_int,
+                                     ctypes.c_int, vp, vp]
+        u.DestroyMenu.argtypes = [vp]
+        u.SetForegroundWindow.argtypes = [vp]
+        u.PostMessageW.argtypes = [vp, ui, ctypes.c_size_t,
+                                   ctypes.c_ssize_t]
+        u.DestroyWindow.argtypes = [vp]
+        u.GetCursorPos.argtypes = [ctypes.c_void_p]
+        self._shell32.Shell_NotifyIconW.argtypes = [ui, ctypes.c_void_p]
 
     def _icon_data(self) -> NOTIFYICONDATAW:
         data = NOTIFYICONDATAW()

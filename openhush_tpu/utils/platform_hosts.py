@@ -218,6 +218,16 @@ def _win_set_clipboard(text: str) -> bool:
         kernel32 = ctypes.WinDLL("kernel32")    # type: ignore[attr-defined]
     except (OSError, AttributeError):
         return False
+    # 64-bit handles/pointers: ctypes' default c_int restype TRUNCATES
+    # HGLOBAL/LPVOID above 4 GB — declare every signature explicitly.
+    kernel32.GlobalAlloc.restype = ctypes.c_void_p
+    kernel32.GlobalAlloc.argtypes = [ctypes.c_uint, ctypes.c_size_t]
+    kernel32.GlobalLock.restype = ctypes.c_void_p
+    kernel32.GlobalLock.argtypes = [ctypes.c_void_p]
+    kernel32.GlobalUnlock.argtypes = [ctypes.c_void_p]
+    user32.OpenClipboard.argtypes = [ctypes.c_void_p]
+    user32.SetClipboardData.restype = ctypes.c_void_p
+    user32.SetClipboardData.argtypes = [ctypes.c_uint, ctypes.c_void_p]
     CF_UNICODETEXT, GMEM_MOVEABLE = 13, 0x0002
     data = text.encode("utf-16-le") + b"\x00\x00"
     if not user32.OpenClipboard(None):
@@ -228,6 +238,8 @@ def _win_set_clipboard(text: str) -> bool:
         if not handle:
             return False
         ptr = kernel32.GlobalLock(handle)
+        if not ptr:
+            return False
         ctypes.memmove(ptr, data, len(data))
         kernel32.GlobalUnlock(handle)
         return bool(user32.SetClipboardData(CF_UNICODETEXT, handle))
