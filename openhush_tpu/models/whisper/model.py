@@ -314,9 +314,33 @@ def _gelu(x):
     whisper.cpp-style approximation — measured 68 ms (-16%) off a
     large-v3 B=16 encode on v5e (tools/encoder_phases.py), erf being
     VPU-transcendental-bound. Read at trace time: set before the first
-    forward pass of the process."""
-    approx = os.environ.get("OPENHUSH_GELU", "erf") == "tanh"
-    return jax.nn.gelu(x, approximate=approx)
+    forward pass of the process.
+
+    Default resolution: OPENHUSH_GELU env if set; else the
+    `gelu_tanh.ok` marker tools/checkpoint_gate.py drops after a
+    real-weight WER run shows negligible drift (same gated-default
+    pattern as the int8 self-cache rung, runtime/server.py:150); else
+    exact erf. Cached per process — all model traces in one process use
+    one GELU."""
+    return jax.nn.gelu(x, approximate=_gelu_mode() == "tanh")
+
+
+_GELU_MODE: Optional[str] = None
+
+
+def _gelu_mode() -> str:
+    global _GELU_MODE
+    if _GELU_MODE is None:
+        mode = os.environ.get("OPENHUSH_GELU")
+        if mode not in ("erf", "tanh"):
+            try:
+                from openhush_tpu.runtime.engine import default_model_dir
+                mode = ("tanh" if os.path.exists(os.path.join(
+                    default_model_dir(), "gelu_tanh.ok")) else "erf")
+            except Exception:  # noqa: BLE001 — default stays exact
+                mode = "erf"
+        _GELU_MODE = mode
+    return _GELU_MODE
 
 
 def _mlp(x, lp):

@@ -301,8 +301,9 @@ class WindowsTray:
 
 def create_tray():
     """Host-appropriate tray backend: SNI on Linux, Shell_NotifyIcon on
-    Windows; TrayError elsewhere (macOS tray is out of scope — ObjC
-    NSStatusBar has no stable C surface reachable from ctypes)."""
+    Windows; TrayError elsewhere (macOS tray is out of scope — AppKit's
+    NSStatusBar requires owning the main-thread run loop, which a
+    background daemon doesn't)."""
     import sys
     if sys.platform.startswith("win"):
         return WindowsTray()

@@ -31,13 +31,16 @@ def test_gate_offline_dryrun(tmp_path):
         (tmp_path / "work" / "gate_report.json").read_text())
     assert report["ok"]
     expected = {"whisper_convert", "whisper_parity", "wer_bf16",
-                "wer_int8_self", "int8_decision", "m2m100_convert",
-                "aux_convert"}
+                "wer_int8_self", "int8_decision", "wer_gelu_tanh",
+                "gelu_decision", "m2m100_convert", "aux_convert"}
     assert expected <= set(report["stages"])
     for name in expected:
         assert report["stages"][name]["ok"], (name,
                                               report["stages"][name])
-    # Random-init dryrun must NEVER flip the int8 default.
+    # Random-init dryrun must NEVER flip the int8 or GELU defaults.
     assert report["stages"]["int8_decision"]["detail"][
         "default_flipped"] is False
     assert not (tmp_path / "models" / "int8_self_cache.ok").exists()
+    assert report["stages"]["gelu_decision"]["detail"][
+        "default_flipped"] is False
+    assert not (tmp_path / "models" / "gelu_tanh.ok").exists()

@@ -25,6 +25,9 @@ def setup():
 
 
 def _encode(cfg, params, mel):
+    # The GELU mode caches per process (and jit caches per function
+    # object): reset both so each call re-resolves the knob.
+    whisper._GELU_MODE = None
     return np.asarray(jax.jit(
         lambda p, m: whisper.encode(cfg, p, m))(params, mel))
 
@@ -50,3 +53,17 @@ def test_default_is_exact(setup, monkeypatch):
     monkeypatch.setenv("OPENHUSH_GELU", "erf")
     b = _encode(cfg, params, mel)
     np.testing.assert_array_equal(a, b)
+
+
+def test_marker_flips_default(setup, monkeypatch, tmp_path):
+    cfg, params, mel = setup
+    monkeypatch.delenv("OPENHUSH_GELU", raising=False)
+    monkeypatch.setenv("OPENHUSH_MODEL_DIR", str(tmp_path))
+    erf_out = _encode(cfg, params, mel)
+    (tmp_path / "gelu_tanh.ok").write_text("{}")
+    marker_out = _encode(cfg, params, mel)
+    assert not np.array_equal(erf_out, marker_out)
+    # Env always wins over the marker.
+    monkeypatch.setenv("OPENHUSH_GELU", "erf")
+    forced = _encode(cfg, params, mel)
+    np.testing.assert_array_equal(erf_out, forced)

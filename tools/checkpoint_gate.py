@@ -14,8 +14,13 @@ Stages (each recorded in gate_report.json as {ok, seconds, detail}):
   4. wer_int8_self     SERVING-path WER with the int8 self-cache rung
   5. int8_decision     drift < 0.1 abs → drops models/int8_self_cache.ok
                        (EngineServer flips its default on that marker)
-  6. m2m100_convert    HF M2M-100 → npz
-  7. aux_convert       Silero / openWakeWord / wespeaker / RNNoise via
+  6. wer_gelu_tanh     engine WER with OPENHUSH_GELU=tanh (fresh
+                       interpreter — GELU mode is per-process)
+  7. gelu_decision     drift < 0.1 abs → drops models/gelu_tanh.ok
+                       (model._gelu flips its default on that marker;
+                       −16% encoder time)
+  8. m2m100_convert    HF M2M-100 → npz
+  9. aux_convert       Silero / openWakeWord / wespeaker / RNNoise via
                        `model convert-aux` + tools/validate_aux.py
                        (resolves the Silero STFT pad-mode into the npz)
 
@@ -326,9 +331,51 @@ def main() -> int:
                     "note": "random-init dryrun never flips"
                     if random_init else "drift too large"}
 
+        def wer_gelu_tanh():
+            # Subprocess: the GELU mode is resolved once per process at
+            # trace time, so the tanh run needs a fresh interpreter.
+            code = (
+                "import json, sys; sys.path.insert(0, {repo!r});"
+                "sys.path.insert(0, {tools!r});"
+                "import checkpoint_gate as g;"
+                "r = g._engine_wer({model!r}, {ds!r}, {lim!r});"
+                "print('GELU_WER ' + json.dumps({{'wer': r.wer}}))"
+            ).format(repo=REPO, tools=os.path.join(REPO, "tools"),
+                     model=model, ds=args.dataset, lim=args.limit)
+            rc = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                text=True, timeout=7200, cwd=REPO,
+                env={**os.environ, "PYTHONPATH": REPO,
+                     "OPENHUSH_GELU": "tanh"})
+            for line in rc.stdout.splitlines():
+                if line.startswith("GELU_WER "):
+                    wer_holder["gelu_tanh"] = json.loads(
+                        line[len("GELU_WER "):])["wer"]
+                    return {"wer": round(wer_holder["gelu_tanh"], 4)}
+            raise RuntimeError(rc.stdout[-400:] + rc.stderr[-400:])
+
+        def decide_gelu():
+            if "bf16" not in wer_holder or "gelu_tanh" not in wer_holder:
+                raise RuntimeError("WER stages incomplete")
+            drift = wer_holder["gelu_tanh"] - wer_holder["bf16"]
+            random_init = os.environ.get(
+                "OPENHUSH_ALLOW_RANDOM_INIT") == "1"
+            if drift < INT8_WER_DRIFT_MAX and not random_init:
+                marker = os.path.join(default_model_dir(), "gelu_tanh.ok")
+                with open(marker, "w") as f:
+                    json.dump({"drift": drift,
+                               "bf16": wer_holder["bf16"],
+                               "gelu_tanh": wer_holder["gelu_tanh"]}, f)
+                return {"drift": round(drift, 5), "default_flipped": True}
+            return {"drift": round(drift, 5), "default_flipped": False,
+                    "note": "random-init dryrun never flips"
+                    if random_init else "drift too large"}
+
         gate.stage("wer_bf16", wer_bf16)
         gate.stage("wer_int8_self", wer_int8)
         gate.stage("int8_decision", decide)
+        gate.stage("wer_gelu_tanh", wer_gelu_tanh)
+        gate.stage("gelu_decision", decide_gelu)
 
     m2m_name = "test" if args.offline_dryrun else "418M"
     gate.stage("m2m100_convert", lambda: _cli(
