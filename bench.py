@@ -125,8 +125,6 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
     audios = [np.asarray(0.1 * rng.standard_normal(mel_ops.N_SAMPLES),
                          np.float32) for _ in range(min(4, n_windows))]
 
-    n_iters = max(1, server.inner_steps // k_spec)
-
     def run(n):
         sids = []
         for i in range(n):
@@ -135,11 +133,10 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
             server.submit_window(sid, audios[i % len(audios)],
                                  window_id=i, language="en",
                                  timestamps=False)
-        got, total_tokens, active_dispatches = 0, 0, 0
+        got, total_tokens = 0, 0
+        iters0 = server.spec_iters
         t0 = time.perf_counter()
         while got < n:
-            if server._slots:
-                active_dispatches += 1
             server.run_once()
             for sid in sids:
                 r = server.poll(sid)
@@ -149,12 +146,12 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
         wall = time.perf_counter() - t0
         for sid in sids:
             server.close_session(sid)
-        return wall, total_tokens, active_dispatches
+        return wall, total_tokens, server.spec_iters - iters0
 
     # Warm with a FULL batch so every admit-group size the main run uses
     # is compiled outside the timed window.
     run(min(SERVE_SLOTS, n_windows))
-    wall, total_tokens, dispatches = run(n_windows)
+    wall, total_tokens, spec_iters = run(n_windows)
     audio_secs = n_windows * WINDOW_SECS
     # Free this server's device state eagerly: three serving configs run
     # back-to-back, and ~3.5 GB of slot state each OOMs a 16 GB chip if
@@ -162,12 +159,13 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
     server.state = None
     import gc
     gc.collect()
-    if draft is not None and dispatches:
+    if draft is not None and spec_iters:
         # Accepted tokens per spec iteration → implied accept rate:
-        # emitted/iter = 1 + (k-1)*accept. Dispatches overcount when
-        # slots sit partially full, so this UNDERSTATES acceptance; it
+        # emitted/iter = 1 + (k-1)*accept. spec_iters counts iterations
+        # actually dispatched (deep steps included); it overcounts when
+        # slots sit partially full, so this UNDERSTATES acceptance — it
         # is exact in the fully-batched steady state.
-        per_iter = total_tokens / (dispatches * n_iters * SERVE_SLOTS)
+        per_iter = total_tokens / (spec_iters * SERVE_SLOTS)
         accept = max(0.0, min(1.0, (per_iter - 1) / max(k_spec - 1, 1)))
     else:
         accept = float("nan")

@@ -58,7 +58,10 @@ class BeamEngineServer(EngineServer):
             self.cfg, self.n_slots, self.beam_size, dtype=dtype,
             max_len=max_len, audio_ctx=self.audio_ctx)
 
-    def _step_state(self) -> None:
+    def _step_state(self, deep: bool = False) -> None:
+        # Beam groups keep a fixed scan length (deep stepping would
+        # multiply the K-wide group cost past its latency budget).
+        del deep
         self.state = beam_batcher.step(
             self.cfg, self.params, self.state, self._suppress,
             inner_steps=self.inner_steps,

@@ -112,11 +112,21 @@ class EngineServer:
                  int8_self_cache: Optional[bool] = None,
                  draft: Optional[tuple] = None,
                  k_spec: int = 4,
-                 harvest_every: int = 1):
+                 harvest_every: int = 1,
+                 deep_factor: int = 4):
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
         self.inner_steps = inner_steps
+        # Deep stepping: when EVERY slot is occupied, admission is
+        # impossible until a harvest frees one — so the step dispatch
+        # runs deep_factor× longer scans (one compiled variant per size)
+        # and harvests every turn, keeping the token cadence between
+        # harvests identical while cutting host dispatches ~2.5x in the
+        # fully-batched steady state. Token-exact: the scan is just run
+        # further; finished rows stay masked. deep_factor=1 disables.
+        self.deep_factor = max(1, int(deep_factor))
+        self.spec_iters = 0   # spec iterations dispatched (accounting)
         self.tokenizer = tokenizer or WhisperTokenizer(cfg.n_langs)
         # Speculative serving: draft=(draft_cfg, draft_params) switches
         # the device loop to batcher.spec_step — the shared shallow draft
@@ -345,11 +355,16 @@ class EngineServer:
                 self._prepare_many(jobs)
         worked = self._admit_pending()
         with self._lock:
-            any_active = bool(self._slots)
-        if any_active:
-            self._step_state()
+            n_active = len(self._slots)
+        if n_active:
+            # Deep stepping: with every slot occupied nothing can be
+            # admitted until a harvest frees one, so run a deep_factor×
+            # longer scan per dispatch and harvest each turn (same token
+            # cadence between harvests, ~2.5x fewer host dispatches).
+            deep = n_active == self.n_slots and self.deep_factor > 1
+            self._step_state(deep=deep)
             self._turn += 1
-            if (self._turn % self.harvest_every == 0
+            if (deep or self._turn % self.harvest_every == 0
                     or (not self._ready.empty()
                         and not self._free_slots())):
                 self._harvest()
@@ -367,16 +382,21 @@ class EngineServer:
                                         int8_self_cache=int8_self_cache,
                                         draft_cfg=self.draft_cfg)
 
-    def _step_state(self) -> None:
+    def _step_state(self, deep: bool = False) -> None:
         """One step dispatch over the device state (overridden by
-        BeamEngineServer to advance beam groups instead of slots)."""
+        BeamEngineServer to advance beam groups instead of slots).
+        `deep` multiplies the scan length by deep_factor — two compiled
+        step variants total, identical per-token math."""
+        inner = self.inner_steps * (self.deep_factor if deep else 1)
         if self.draft_cfg is not None:
             import os
+            n_iters = max(1, inner // self.k_spec)
+            self.spec_iters += n_iters   # accept-rate accounting
             self.state = batcher.spec_step(
                 self.cfg, self.params, self.draft_cfg,
                 self.draft_params, self.state, self._suppress,
                 k_spec=self.k_spec,
-                n_iters=max(1, self.inner_steps // self.k_spec),
+                n_iters=n_iters,
                 room_cap=self.room_cap,
                 blank_token=self._blank_token,
                 rep_threshold=self.rep_threshold,
@@ -385,7 +405,7 @@ class EngineServer:
         else:
             self.state = batcher.step(
                 self.cfg, self.params, self.state, self._suppress,
-                inner_steps=self.inner_steps,
+                inner_steps=inner,
                 blank_token=self._blank_token,
                 rep_threshold=self.rep_threshold)
 

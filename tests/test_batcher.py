@@ -546,3 +546,36 @@ def test_admit_many_matches_serial_admits(setup):
     t2, p2 = run(batched=True)
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_deep_stepping_token_exact(setup):
+    """deep_factor only changes how many scan iterations run per
+    dispatch — results must be identical to deep_factor=1 (and the deep
+    path must actually engage when all slots are busy)."""
+    cfg, params, tok = setup
+    rng = np.random.default_rng(7)
+    audios = [(0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+              for _ in range(3)]
+
+    def run(deep_factor):
+        server = EngineServer(cfg, params, n_slots=2, inner_steps=4,
+                              deep_factor=deep_factor,
+                              dtype=jnp.float32, tokenizer=tok,
+                              max_admissions_per_turn=2, **NO_GUARDS)
+        sids = [server.open_session() for _ in audios]
+        for i, (sid, a) in enumerate(zip(sids, audios)):
+            server.submit_window(sid, a, window_id=i)
+        out, turns = {}, 0
+        while len(out) < len(audios) and turns < 300:
+            server.run_once()
+            turns += 1
+            for sid in sids:
+                r = server.poll(sid)
+                if r is not None:
+                    out[sid] = r.tokens
+        assert len(out) == len(audios)
+        return [out[sid] for sid in sids]
+
+    plain = run(1)
+    deep = run(4)
+    assert plain == deep
