@@ -72,3 +72,25 @@ def test_model_quantize_heads_unchanged_on_cpu():
     q_ref, s_ref = _xla_reference(x, 4)
     np.testing.assert_array_equal(np.asarray(q), q_ref)
     np.testing.assert_array_equal(np.asarray(s), s_ref)
+
+
+@pytest.mark.tpu
+def test_kernel_on_chip_matches_xla():
+    """Hardware-validation lane (OPENHUSH_TEST_TPU=1): the compiled
+    Mosaic kernel agrees with the XLA path at the large-v3 cross-KV
+    shape — scales bit-identical, values within the .5-tie allowance."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs a real TPU")
+    import os
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((4, 1500, 1280)) * 3,
+                    jnp.bfloat16)
+    kq, ks = qp.quantize_heads_pallas(x, 20)
+    os.environ["OPENHUSH_NO_QUANT_KERNEL"] = "1"
+    try:
+        xq, xs = jax.jit(lambda a: whisper._quantize_heads(a, 20))(x)
+    finally:
+        os.environ.pop("OPENHUSH_NO_QUANT_KERNEL")
+    np.testing.assert_array_equal(np.asarray(ks), np.asarray(xs))
+    d = np.abs(np.asarray(kq, np.int32) - np.asarray(xq, np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3

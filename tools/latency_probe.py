@@ -117,7 +117,10 @@ def admission_stall(model: str = "large-v3", joiners: int = 8) -> None:
         if toks is not None and len(toks) != last_len:
             last_len = len(toks)
             advances.append((now, last_len))
-        if joined_at is None and now > 0.4:
+        if joined_at is None and (last_len >= 2 or now > 0.4):
+            # Join as soon as the observed decode is underway — with the
+            # round-3 serving speedups a 5 s window can finish in well
+            # under the old fixed 0.4 s trigger.
             joined_at = now
             others = [server.open_session() for _ in range(joiners)]
             for j, osid in enumerate(others):
@@ -135,6 +138,10 @@ def admission_stall(model: str = "large-v3", joiners: int = 8) -> None:
         ts = [t for t, _ in pairs]
         return max((b - a for a, b in zip(ts, ts[1:])), default=0.0)
 
+    if joined_at is None:
+        print("observed window finished before any join happened; "
+              "nothing to measure", file=sys.stderr)
+        return
     before = [(t, l) for t, l in advances if t <= joined_at]
     during = [(t, l) for t, l in advances if t > joined_at]
     print(f"decode-clock max gap: before admissions "
