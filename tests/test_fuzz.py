@@ -286,3 +286,102 @@ def test_fuzz_dbus_marshal_roundtrip(fuzz_seed):
         for s, v in zip(sigs, vals):
             got = u.get(s)
             assert norm_out(s, got) == norm_in(s, v), (trial, s, v, got)
+
+
+def test_fuzz_host_command_quoting(fuzz_seed):
+    """osa_quote/ps_quote must keep arbitrary text inside ONE literal:
+    no quote/backslash sequence may terminate the string early (shell
+    word count stays 1 when the plan is tokenized naively)."""
+    import random
+
+    from openhush_tpu.utils import platform_hosts as ph
+
+    rng = random.Random(fuzz_seed + 77)
+    alphabet = '"\'\\`$(){};\n\t aZ0€漢'
+    for _ in range(200):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randrange(0, 40)))
+        osa = ph.osa_quote(s)
+        # Balanced AppleScript literal: unescaped quotes only at ends.
+        assert osa[0] == osa[-1] == '"'
+        body = osa[1:-1]
+        i, unescaped = 0, 0
+        while i < len(body):
+            if body[i] == "\\":
+                i += 2
+                continue
+            if body[i] == '"':
+                unescaped += 1
+            i += 1
+        assert unescaped == 0, (s, osa)
+        ps = ph.ps_quote(s)
+        assert ps[0] == ps[-1] == "'"
+        assert "''" in ps or "'" not in ps[1:-1]
+        # Round-trip: PowerShell '' unescapes to '.
+        assert ps[1:-1].replace("''", "'") == s
+        # Argv plans never embed the raw text outside the literal.
+        argv = ph.windows_notify_argv("T", s)
+        assert argv[0] == "powershell"
+
+
+def test_fuzz_stream_resampler(fuzz_seed):
+    """Random rates/block sizes: output finite, length tracks the rate
+    ratio, streaming == one-shot regardless of block boundaries."""
+    import numpy as np
+
+    from openhush_tpu.audio.system_audio_hosts import StreamResampler
+
+    rng = np.random.default_rng(fuzz_seed + 88)
+    for _ in range(10):
+        rate_in = int(rng.integers(8_000, 96_000))
+        rate_out = int(rng.integers(8_000, 48_000))
+        n = int(rng.integers(1_000, 30_000))
+        x = rng.standard_normal(n).astype(np.float32)
+        whole = StreamResampler(rate_in, rate_out).process(x)
+        assert np.isfinite(whole).all()
+        expect = n * rate_out / rate_in
+        # The tail holds back up to ~1 input sample, i.e. rate_out/
+        # rate_in output samples when upsampling.
+        assert abs(len(whole) - expect) <= 3 + rate_out / rate_in
+        sr = StreamResampler(rate_in, rate_out)
+        chunks, pos = [], 0
+        while pos < n:
+            size = int(rng.integers(1, 4_000))
+            chunks.append(sr.process(x[pos:pos + size]))
+            pos += size
+        got = np.concatenate(chunks) if chunks else np.zeros(0)
+        m = min(len(got), len(whole))
+        np.testing.assert_allclose(got[:m], whole[:m], atol=1e-5)
+
+
+def test_fuzz_chord_poller_state_machine(fuzz_seed):
+    """Random key-state walks: press/release events strictly alternate,
+    release only after press, and a press implies key+modifiers were
+    down at that tick."""
+    import random
+
+    from openhush_tpu.runtime.hotkey_hosts import ChordPoller
+
+    rng = random.Random(fuzz_seed + 99)
+    keys = [1, 2, 3, 4]
+    down: set = set()
+    events = []
+    poller = ChordPoller(1, ((2, 3),), lambda c: c in down,
+                         lambda: events.append(("press", 1 in down,
+                                                bool(down & {2, 3}))),
+                         lambda: events.append(("release",)))
+    for _ in range(500):
+        k = rng.choice(keys)
+        if k in down and rng.random() < 0.5:
+            down.discard(k)
+        else:
+            down.add(k)
+        poller.tick()
+    kinds = [e[0] for e in events]
+    for a, b in zip(kinds, kinds[1:]):
+        assert a != b                        # strict alternation
+    if kinds:
+        assert kinds[0] == "press"
+    for e in events:
+        if e[0] == "press":
+            assert e[1] and e[2]             # chord truly held
