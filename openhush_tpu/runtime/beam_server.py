@@ -39,6 +39,8 @@ class BeamEngineServer(EngineServer):
     are greedy-path features and are disabled here.
     """
 
+    supports_deep = False   # fixed-length group scans (see _step_state)
+
     def __init__(self, cfg, params, *, beam_size: int = 5,
                  length_penalty: Optional[float] = None, **kw):
         if kw.pop("draft", None) is not None:

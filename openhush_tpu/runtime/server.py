@@ -95,6 +95,9 @@ class _SlotInfo:
 
 
 class EngineServer:
+    # Whether _step_state honors deep scans (BeamEngineServer keeps
+    # fixed-length group scans and must not pay per-turn harvests).
+    supports_deep = True
     """One model, one device loop, many sessions."""
 
     def __init__(self, cfg: WhisperConfig, params, *, n_slots: int = 8,
@@ -361,7 +364,8 @@ class EngineServer:
             # admitted until a harvest frees one, so run a deep_factor×
             # longer scan per dispatch and harvest each turn (same token
             # cadence between harvests, ~2.5x fewer host dispatches).
-            deep = n_active == self.n_slots and self.deep_factor > 1
+            deep = (n_active == self.n_slots and self.deep_factor > 1
+                    and self.supports_deep)
             self._step_state(deep=deep)
             self._turn += 1
             if (deep or self._turn % self.harvest_every == 0
