@@ -19,6 +19,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_gate_offline_dryrun(tmp_path):
     env = dict(os.environ, JAX_PLATFORMS="cpu",
+               # the axon sitecustomize force-registers the TPU tunnel
+               # when this is set, overriding JAX_PLATFORMS=cpu
+               PALLAS_AXON_POOL_IPS="",
                OPENHUSH_MODEL_DIR=str(tmp_path / "models"),
                OPENHUSH_CONFIG=str(tmp_path / "config.toml"))
     rc = subprocess.run(

@@ -23,6 +23,9 @@ def run_cli(*args, timeout=600):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # the axon sitecustomize
+    # force-registers the TPU tunnel when this is set, overriding
+    # JAX_PLATFORMS=cpu — subprocess tests must really run on CPU
     env["OPENHUSH_NO_FALLBACK"] = "1"   # skip the temperature ladder
     return subprocess.run(
         [sys.executable, "-m", "openhush_tpu.cli", *args],
@@ -96,6 +99,9 @@ def test_all_advertised_commands_dispatch(tmp_path):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # the axon sitecustomize
+    # force-registers the TPU tunnel when this is set, overriding
+    # JAX_PLATFORMS=cpu — subprocess tests must really run on CPU
     env["HOME"] = str(tmp_path)
     env["XDG_CONFIG_HOME"] = str(tmp_path / ".config")
     env["OPENHUSH_CONFIG"] = str(tmp_path / "config.toml")

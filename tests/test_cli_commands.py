@@ -22,6 +22,9 @@ def env(tmp_path):
     e = dict(os.environ)
     e["PYTHONPATH"] = REPO + os.pathsep + e.get("PYTHONPATH", "")
     e["JAX_PLATFORMS"] = "cpu"
+    e.pop("PALLAS_AXON_POOL_IPS", None)   # the axon sitecustomize
+    # force-registers the TPU tunnel when this is set, overriding
+    # JAX_PLATFORMS=cpu — subprocess tests must really run on CPU
     e["HOME"] = str(tmp_path)
     e["XDG_CONFIG_HOME"] = str(tmp_path / ".config")
     e["XDG_DATA_HOME"] = str(tmp_path / ".local" / "share")

@@ -109,6 +109,9 @@ def test_setup_defaults(tmp_path):
     REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)   # the axon sitecustomize
+    # force-registers the TPU tunnel when this is set, overriding
+    # JAX_PLATFORMS=cpu — subprocess tests must really run on CPU
     env["HOME"] = str(tmp_path)
     env["XDG_CONFIG_HOME"] = str(tmp_path / ".config")
     env["XDG_DATA_HOME"] = str(tmp_path / ".local")
