@@ -25,6 +25,12 @@ import jax  # noqa: E402
 if not _USE_TPU:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
+    # The axon sitecustomize patches jax's compilation cache in every
+    # process; its executable-serialization write path has segfaulted
+    # under full-suite memory pressure (zstd write in
+    # put_executable_and_time, seen twice at test_finetune_memorizes).
+    # CPU compiles are cheap — no persistent cache in the test harness.
+    jax.config.update("jax_enable_compilation_cache", False)
 
 # XLA:CPU's default matmul/conv precision is visibly lossy (~1e-3); force full
 # fp32 so parity tests measure architecture, not backend rounding. Production

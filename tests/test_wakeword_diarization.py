@@ -198,5 +198,6 @@ def test_recording_session_real_engine_smoke(tmp_path):
         RecordingConfig(source="file", output_format="text",
                         live_mode=False),
         server, FileSource(audio, realtime=False), stdout=io.StringIO())
-    session.run(max_duration=120)
+    session.run(max_duration=300)   # generous: parallel CI load can
+    # stretch the CPU compile+drain well past 2 minutes
     assert session._pending == 0       # everything drained
