@@ -53,9 +53,10 @@ class HotkeySpec:
     modifiers: tuple[tuple[int, ...], ...]   # each entry: acceptable codes
 
 
-def parse_key(spec: str) -> HotkeySpec:
-    """Parse 'F9', 'ctrl+alt+space', ... (parity: parse_key,
-    hotkey.rs:138)."""
+def split_chord(spec: str) -> tuple[list[str], str]:
+    """'ctrl+alt+F9' → (['ctrl', 'alt'], 'f9'), validating shape only —
+    shared by the evdev parser below and the per-OS keycode translators
+    (runtime/hotkey_hosts.py)."""
     parts = [p.strip().lower() for p in spec.split("+") if p.strip()]
     if not parts:
         raise ValueError("empty hotkey spec")
@@ -63,6 +64,13 @@ def parse_key(spec: str) -> HotkeySpec:
     if key in MODIFIERS and not mods:
         # A bare modifier as the hotkey (e.g. 'rightctrl').
         raise ValueError(f"hotkey must end in a non-modifier key: {spec!r}")
+    return mods, key
+
+
+def parse_key(spec: str) -> HotkeySpec:
+    """Parse 'F9', 'ctrl+alt+space', ... (parity: parse_key,
+    hotkey.rs:138)."""
+    mods, key = split_chord(spec)
     if key not in KEY_CODES:
         raise ValueError(f"unknown key {key!r} in hotkey {spec!r}")
     mod_codes = []

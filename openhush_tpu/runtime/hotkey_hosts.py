@@ -27,7 +27,7 @@ import threading
 import time
 from typing import Callable, Optional
 
-from .hotkey import MODIFIERS, parse_key
+from .hotkey import MODIFIERS, parse_key, split_chord
 
 log = logging.getLogger(__name__)
 
@@ -80,10 +80,8 @@ def native_chord(spec: str, key_table: dict, modifier_table: dict
                  ) -> tuple[int, tuple[tuple[int, ...], ...]]:
     """Translate a parse_key() spec into native (key, modifier-groups)
     codes. Raises ValueError on keys the host table lacks."""
-    parsed = parse_key(spec)     # validates syntax against shared names
-    parts = [p.strip().lower() for p in spec.split("+") if p.strip()]
-    *mods, key = parts
-    del parsed
+    parse_key(spec)              # validates syntax against shared names
+    mods, key = split_chord(spec)
     if key not in key_table:
         raise ValueError(f"key {key!r} not mapped on this host")
     groups = []

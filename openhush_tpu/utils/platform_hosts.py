@@ -19,6 +19,7 @@ with a logged reason, matching the reference's `.ok()` posture.
 from __future__ import annotations
 
 import ctypes
+import functools
 import logging
 import os
 import shutil
@@ -197,9 +198,27 @@ def ctrl_v_key_sequence() -> list[tuple[int, int]]:
             (VK_V, KEYEVENTF_KEYUP), (VK_CONTROL, KEYEVENTF_KEYUP)]
 
 
+@functools.lru_cache(maxsize=1)
+def _win_libs():
+    """(user32, kernel32) with 64-bit-safe signatures declared once —
+    ctypes' default c_int restype TRUNCATES HGLOBAL/LPVOID above 4 GB.
+    Raises on non-Windows hosts (callers degrade to False)."""
+    user32 = ctypes.WinDLL("user32")            # type: ignore[attr-defined]
+    kernel32 = ctypes.WinDLL("kernel32")        # type: ignore[attr-defined]
+    kernel32.GlobalAlloc.restype = ctypes.c_void_p
+    kernel32.GlobalAlloc.argtypes = [ctypes.c_uint, ctypes.c_size_t]
+    kernel32.GlobalLock.restype = ctypes.c_void_p
+    kernel32.GlobalLock.argtypes = [ctypes.c_void_p]
+    kernel32.GlobalUnlock.argtypes = [ctypes.c_void_p]
+    user32.OpenClipboard.argtypes = [ctypes.c_void_p]
+    user32.SetClipboardData.restype = ctypes.c_void_p
+    user32.SetClipboardData.argtypes = [ctypes.c_uint, ctypes.c_void_p]
+    return user32, kernel32
+
+
 def _win_send_inputs(seq: list[tuple[int, int]]) -> bool:
     try:
-        user32 = ctypes.WinDLL("user32")        # type: ignore[attr-defined]
+        user32, _ = _win_libs()
     except (OSError, AttributeError):
         return False
     arr = (INPUT * len(seq))()
@@ -214,20 +233,9 @@ def _win_set_clipboard(text: str) -> bool:
     """CF_UNICODETEXT via OpenClipboard/SetClipboardData (the arboard
     path in the reference, windows.rs:79-92)."""
     try:
-        user32 = ctypes.WinDLL("user32")        # type: ignore[attr-defined]
-        kernel32 = ctypes.WinDLL("kernel32")    # type: ignore[attr-defined]
+        user32, kernel32 = _win_libs()
     except (OSError, AttributeError):
         return False
-    # 64-bit handles/pointers: ctypes' default c_int restype TRUNCATES
-    # HGLOBAL/LPVOID above 4 GB — declare every signature explicitly.
-    kernel32.GlobalAlloc.restype = ctypes.c_void_p
-    kernel32.GlobalAlloc.argtypes = [ctypes.c_uint, ctypes.c_size_t]
-    kernel32.GlobalLock.restype = ctypes.c_void_p
-    kernel32.GlobalLock.argtypes = [ctypes.c_void_p]
-    kernel32.GlobalUnlock.argtypes = [ctypes.c_void_p]
-    user32.OpenClipboard.argtypes = [ctypes.c_void_p]
-    user32.SetClipboardData.restype = ctypes.c_void_p
-    user32.SetClipboardData.argtypes = [ctypes.c_uint, ctypes.c_void_p]
     CF_UNICODETEXT, GMEM_MOVEABLE = 13, 0x0002
     data = text.encode("utf-16-le") + b"\x00\x00"
     if not user32.OpenClipboard(None):

@@ -12,7 +12,6 @@ Usage: python tools/encoder_int8_bench.py [model] [batch]
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -21,24 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench_util import bench, fence as _fence
 from openhush_tpu.models.whisper import model as whisper
 from openhush_tpu.models.whisper.config import get_config
 from openhush_tpu.ops import frontend_pallas, mel as mel_ops
-
-
-def _fence(out):
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf[(0,) * (leaf.ndim - 1)][:1])
-
-
-def bench(fn, *args, iters=5):
-    _fence(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.monotonic()
-        _fence(fn(*args))
-        times.append(time.monotonic() - t0)
-    return min(times) * 1000.0
 
 
 def quantize_w(w):

@@ -12,7 +12,6 @@ Usage: python tools/encoder_phases.py [model] [batch]
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -21,47 +20,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from bench_util import bench, fence as _fence
 from openhush_tpu.models.whisper import model as whisper
 from openhush_tpu.models.whisper.config import get_config
 from openhush_tpu.ops import frontend_pallas, mel as mel_ops
-
-
-def _fence(out):
-    """On the axon tunnel block_until_ready can return before execution
-    finishes; a tiny device→host read is the reliable fence (same
-    workaround as bench.py:181-185)."""
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf[(0,) * (leaf.ndim - 1)][:1])
-
-
-_DISPATCH_MS = None
-
-
-def dispatch_overhead_ms() -> float:
-    """Measured cost of one dispatch + fence through the tunnel."""
-    global _DISPATCH_MS
-    if _DISPATCH_MS is None:
-        trivial = jax.jit(lambda x: x + 1.0)
-        x = jnp.zeros((8,), jnp.float32)
-        _fence(trivial(x))
-        times = []
-        for _ in range(5):
-            t0 = time.monotonic()
-            _fence(trivial(x))
-            times.append(time.monotonic() - t0)
-        _DISPATCH_MS = min(times) * 1000.0
-    return _DISPATCH_MS
-
-
-def bench(fn, *args, iters=5):
-    """min-of-iters wall time minus the measured dispatch overhead."""
-    _fence(fn(*args))          # warm / compile
-    times = []
-    for _ in range(iters):
-        t0 = time.monotonic()
-        _fence(fn(*args))
-        times.append(time.monotonic() - t0)
-    return max(0.0, min(times) * 1000.0 - dispatch_overhead_ms())
 
 
 def main() -> int:
