@@ -301,11 +301,14 @@ class WindowsTray:
 
 def create_tray():
     """Host-appropriate tray backend: SNI on Linux, Shell_NotifyIcon on
-    Windows; TrayError elsewhere (macOS tray is out of scope — AppKit's
-    NSStatusBar requires owning the main-thread run loop, which a
-    background daemon doesn't)."""
+    Windows, and on macOS a spawned AppKit helper process (NSStatusBar
+    needs a main-thread run loop the daemon can't give up — the helper
+    owns one and bridges events over stdio; ui.tray_macos)."""
     import sys
     if sys.platform.startswith("win"):
         return WindowsTray()
+    if sys.platform == "darwin":
+        from .tray_macos import MacTray
+        return MacTray()
     from .tray import SniTray
     return SniTray()
