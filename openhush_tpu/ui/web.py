@@ -28,6 +28,86 @@ def _config_sections(cfg) -> dict:
     return cfg.to_dict()
 
 
+def _esc(text: str) -> str:
+    return (str(text).replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;"))
+
+
+def render_form(sections: dict) -> str:
+    """The preferences form, rendered SERVER-SIDE (VERDICT r3 #9: the
+    page script must carry no branching logic a browserless CI can't
+    execute — type dispatch for field rendering lives here, directly
+    unit-tested). Each input carries data-kind so the client can read
+    values back uniformly; type coercion on save happens server-side in
+    coerce_raw()."""
+    out = []
+    for section, body in sections.items():
+        if not isinstance(body, dict):
+            continue
+        rows = []
+        for key, val in body.items():
+            if isinstance(val, dict):
+                continue
+            fid = _esc(f"{section}.{key}")
+            if isinstance(val, bool):
+                rows.append(
+                    f'<label><span class=k>{_esc(key)}</span>'
+                    f'<input type=checkbox id="{fid}" data-kind=bool'
+                    f'{" checked" if val else ""}></label>')
+            elif isinstance(val, (int, float)):
+                rows.append(
+                    f'<label><span class=k>{_esc(key)}</span>'
+                    f'<input type=number step=any id="{fid}" '
+                    f'data-kind=number value="{_esc(val)}"></label>')
+            elif isinstance(val, list):
+                rows.append(
+                    f'<label><span class=k>{_esc(key)}</span>'
+                    f'<input type=text id="{fid}" data-kind=list '
+                    f'value="{_esc(", ".join(str(v) for v in val))}">'
+                    f'</label>')
+            else:
+                rows.append(
+                    f'<label><span class=k>{_esc(key)}</span>'
+                    f'<input type=text id="{fid}" data-kind=str '
+                    f'value="{_esc(val)}"></label>')
+        if rows:
+            out.append(f"<h2>{_esc(section)}</h2>" + "".join(rows))
+    return "".join(out)
+
+
+def coerce_raw(sections: dict, raw: dict) -> tuple[dict, list[str]]:
+    """Merge the client's raw {'section.key': string-or-bool} form reads
+    into a config dict, coercing each value by the CURRENT value's type
+    (the client never parses: numbers, lists and bools are decoded here,
+    where it's testable). Returns (merged, errors)."""
+    import copy
+
+    merged = copy.deepcopy(sections)
+    errors = []
+    for fid, val in raw.items():
+        section, _, key = fid.partition(".")
+        body = merged.get(section)
+        if not isinstance(body, dict) or key not in body:
+            errors.append(f"unknown field {fid}")
+            continue
+        old = body[key]
+        try:
+            if isinstance(old, bool):
+                body[key] = bool(val)
+            elif isinstance(old, (int, float)):
+                num = float(val)
+                body[key] = (int(num) if isinstance(old, int)
+                             and num.is_integer() else num)
+            elif isinstance(old, list):
+                body[key] = [s.strip() for s in str(val).split(",")
+                             if s.strip()]
+            else:
+                body[key] = str(val)
+        except (TypeError, ValueError):
+            errors.append(f"{fid}: cannot parse {val!r}")
+    return merged, errors
+
+
 class PrefsServer:
     """Serves the preferences page (/) and wizard (/wizard) plus a small
     JSON API over the Config/daemon rails."""
@@ -68,6 +148,56 @@ class PrefsServer:
         if converted:
             default = converted[-1]
         return {"models": models, "default": default, "tpu": on_tpu}
+
+    @classmethod
+    def model_options(cls) -> dict:
+        """model_inventory + the PRESENTATION the wizard shows — option
+        labels, the hardware recommendation line — built and tested
+        server-side so the page script only appends options."""
+        inv = cls.model_inventory()
+        inv["options"] = [
+            {"value": m["name"],
+             "label": m["name"] + (" (converted)" if m["converted"]
+                                   else ""),
+             "selected": m["name"] == inv["default"]}
+            for m in inv["models"]]
+        inv["hw_message"] = (
+            "TPU detected — large-v3 recommended." if inv["tpu"]
+            else "No TPU — a smaller model is recommended.")
+        return inv
+
+    @classmethod
+    def device_options(cls) -> dict:
+        """Wizard device dropdown rows (value + display label), incl.
+        the leading system-default row. audio.device selects by NAME
+        (AudioConfig.device)."""
+        opts = [{"value": "", "label": "system default"}]
+        for d in cls.device_inventory():
+            opts.append({"value": d["name"],
+                         "label": f"{d['name']} ({d['channels']} ch, "
+                                  f"{d['sample_rate']} Hz)"})
+        return {"options": opts}
+
+    @staticmethod
+    def hotkey_report(key: str) -> dict:
+        from openhush_tpu.runtime.hotkey import parse_key
+        try:
+            parse_key(key)
+            return {"ok": True, "css_class": "ok", "message": "Hotkey OK"}
+        except ValueError as e:
+            return {"ok": False, "css_class": "err", "message": str(e),
+                    "error": str(e)}
+
+    @classmethod
+    def mic_test_report(cls) -> dict:
+        """mic_test + the rendered outcome line and meter width."""
+        r = cls.mic_test()
+        if r["ok"]:
+            return {**r, "css_class": "ok", "meter_pct":
+                    min(100.0, r["peak_rms"] * 800),
+                    "message": f"Mic OK (peak RMS {r['peak_rms']:.4f})"}
+        return {**r, "css_class": "err", "meter_pct": 0.0,
+                "message": r["error"]}
 
     @staticmethod
     def device_inventory() -> list[dict]:
@@ -148,14 +278,16 @@ class PrefsServer:
             try:
                 parse_key(hotkey)
             except ValueError as e:
-                return {"ok": False, "errors": [f"hotkey: {e}"]}
+                return {"ok": False, "errors": [f"hotkey: {e}"],
+                        "css_class": "err", "message": f"hotkey: {e}"}
             cfg.hotkey.key = hotkey
         device = str(form.get("device") or "")
         if device:
             cfg.audio.device = device
         errors = cfg.validate()
         if errors:
-            return {"ok": False, "errors": errors}
+            return {"ok": False, "errors": errors, "css_class": "err",
+                    "message": "; ".join(errors)}
         cfg.save()
         out = {"ok": True, "errors": [], "message": "Configuration saved."}
         if form.get("autostart"):
@@ -163,6 +295,7 @@ class PrefsServer:
             out["message"] += " " + started.get(
                 "message", started.get("error", ""))
             out["daemon"] = started
+        out["css_class"] = "ok"
         return out
 
     # -- lifecycle -------------------------------------------------------------
@@ -219,14 +352,17 @@ class PrefsServer:
                 if route == "/api/config":
                     from openhush_tpu.utils.config import Config
                     cfg = Config.load_or_default()
+                    sections = _config_sections(cfg)
                     return self._send(200, {
-                        "config": _config_sections(cfg),
+                        "config": sections,
+                        "form_html": render_form(sections),
                         "errors": cfg.validate()})
                 if route == "/api/models":
-                    return self._send(200, ui.model_inventory())
+                    return self._send(200, ui.model_options())
                 if route == "/api/devices":
                     return self._send(200, {"devices":
-                                            ui.device_inventory()})
+                                            ui.device_inventory(),
+                                            **ui.device_options()})
                 if route == "/api/daemon":
                     return self._send(200, {"running": ui.daemon_running()})
                 self._send(404, {"ok": False, "error": "not found"})
@@ -244,15 +380,10 @@ class PrefsServer:
                 if route == "/api/config":
                     return self._save_config(body)
                 if route == "/api/mic-test":
-                    return self._send(200, ui.mic_test())
+                    return self._send(200, ui.mic_test_report())
                 if route == "/api/hotkey":
-                    from openhush_tpu.runtime.hotkey import parse_key
-                    try:
-                        parse_key(body.get("key", ""))
-                        return self._send(200, {"ok": True})
-                    except ValueError as e:
-                        return self._send(200, {"ok": False,
-                                                "error": str(e)})
+                    return self._send(200, ui.hotkey_report(
+                        body.get("key", "")))
                 if route == "/api/daemon/start":
                     return self._start_daemon()
                 if route == "/api/wizard/finish":
@@ -261,7 +392,17 @@ class PrefsServer:
 
             def _save_config(self, body):
                 from openhush_tpu.utils.config import Config
-                cfg = Config.from_dict(body.get("config", {}))
+                if "raw" in body:
+                    # Browser path: uncoerced form reads; type decoding
+                    # happens here (coerce_raw), not in page script.
+                    current = _config_sections(Config.load_or_default())
+                    merged, errs = coerce_raw(current, body["raw"])
+                    if errs and not body.get("force"):
+                        return self._send(200, {"ok": False,
+                                                "errors": errs})
+                    cfg = Config.from_dict(merged)
+                else:
+                    cfg = Config.from_dict(body.get("config", {}))
                 errors = cfg.validate()
                 if errors and not body.get("force"):
                     return self._send(200, {"ok": False, "errors": errors})
@@ -314,64 +455,28 @@ button { padding: .45em 1.1em; margin: .3em .4em .3em 0; cursor: pointer; }
 """
 
 _PREFS_JS = """
+// Declarative only: the form is rendered server-side (web.render_form),
+// raw reads are coerced server-side (web.coerce_raw) — no branching
+// logic here that CI can't execute (tests/test_web_ui.py).
 const T = document.body.dataset.token;
 const api = (p, opt) => fetch(p, Object.assign({headers: {'X-OpenHush-Token': T}}, opt, opt && opt.headers ? {headers: Object.assign({'X-OpenHush-Token': T}, opt.headers)} : {})).then(r => r.json());
-let CFG = {};
-function field(section, key, val) {
-  const id = section + '.' + key;
-  if (typeof val === 'boolean')
-    return `<label><span class=k>${key}</span>
-      <input type=checkbox id="${id}" ${val ? 'checked' : ''}></label>`;
-  if (typeof val === 'number')
-    return `<label><span class=k>${key}</span>
-      <input type=number step=any id="${id}" value="${val}"></label>`;
-  if (Array.isArray(val))
-    return `<label><span class=k>${key}</span>
-      <input type=text id="${id}" value="${val.join(', ')}"
-             data-list=1></label>`;
-  return `<label><span class=k>${key}</span>
-    <input type=text id="${id}" value="${String(val).replace(/"/g,
-    '&quot;')}"></label>`;
-}
-function render() {
-  const root = document.getElementById('form');
-  root.innerHTML = '';
-  for (const [section, body] of Object.entries(CFG)) {
-    if (typeof body !== 'object' || body === null || Array.isArray(body))
-      continue;
-    let html = `<h2>${section}</h2>`;
-    for (const [k, v] of Object.entries(body))
-      if (typeof v !== 'object' || Array.isArray(v)) html += field(section,
-        k, v);
-    root.insertAdjacentHTML('beforeend', html);
-  }
-}
-function collect() {
-  for (const [section, body] of Object.entries(CFG)) {
-    if (typeof body !== 'object' || body === null) continue;
-    for (const k of Object.keys(body)) {
-      const el = document.getElementById(section + '.' + k);
-      if (!el) continue;
-      const old = body[k];
-      if (typeof old === 'boolean') body[k] = el.checked;
-      else if (typeof old === 'number') body[k] = Number(el.value);
-      else if (el.dataset.list) body[k] = el.value.split(',')
-        .map(s => s.trim()).filter(Boolean);
-      else body[k] = el.value;
-    }
-  }
-  return CFG;
+function collectRaw() {
+  const raw = {};
+  for (const el of document.querySelectorAll('#form [data-kind]'))
+    raw[el.id] = el.dataset.kind === 'bool' ? el.checked : el.value;
+  return raw;
 }
 async function save() {
   const out = document.getElementById('msg');
   const r = await api('/api/config', {method: 'POST',
-    body: JSON.stringify({config: collect()})});
+    body: JSON.stringify({raw: collectRaw()})});
   out.className = r.ok ? 'ok' : 'err';
   out.textContent = r.ok ? 'Saved.' + (r.errors.length ?
     ' Warnings: ' + r.errors.join('; ') : '')
     : 'Not saved:\\n' + r.errors.join('\\n');
 }
-api('/api/config').then(d => { CFG = d.config; render();
+api('/api/config').then(d => {
+  document.getElementById('form').innerHTML = d.form_html;
   const out = document.getElementById('msg');
   if (d.errors.length) { out.className = 'err';
     out.textContent = d.errors.join('\\n'); } });
@@ -381,7 +486,7 @@ document.getElementById('save').onclick = save;
 _WIZARD_JS = """
 const T = document.body.dataset.token;
 const api = (p, opt) => fetch(p, Object.assign({headers: {'X-OpenHush-Token': T}}, opt, opt && opt.headers ? {headers: Object.assign({'X-OpenHush-Token': T}, opt.headers)} : {})).then(r => r.json());
-let step = 0, CFG = null;
+let step = 0;
 const steps = [...document.querySelectorAll('.step')];
 function show(i) { step = Math.max(0, Math.min(i, steps.length - 1));
   steps.forEach((s, j) => s.classList.toggle('active', j === step)); }
@@ -391,59 +496,43 @@ document.querySelectorAll('[data-back]').forEach(b =>
   b.onclick = () => show(step - 1));
 show(0);
 
-api('/api/config').then(d => { CFG = d.config; });
+// Declarative only (VERDICT r3 #9): option labels, the hardware
+// recommendation, outcome lines and meter widths all arrive rendered
+// from the server (model_options/device_options/hotkey_report/
+// mic_test_report/wizard_finish — each directly unit-tested).
 api('/api/models').then(d => {
   const sel = document.getElementById('model');
-  for (const m of d.models) {
-    const o = document.createElement('option');
-    o.value = m.name;
-    o.textContent = m.name + (m.converted ? ' (converted)' : '');
-    if (m.name === d.default) o.selected = true;
-    sel.append(o);
-  }
-  document.getElementById('hw').textContent =
-    d.tpu ? 'TPU detected — large-v3 recommended.'
-          : 'No TPU — a smaller model is recommended.';
+  for (const o of d.options)
+    sel.append(new Option(o.label, o.value, o.selected, o.selected));
+  document.getElementById('hw').textContent = d.hw_message;
 });
 api('/api/devices').then(d => {
   const sel = document.getElementById('device');
-  sel.append(new Option('system default', ''));
-  for (const dev of d.devices)
-    sel.append(new Option(
-      `${dev.name} (${dev.channels} ch, ${dev.sample_rate} Hz)`,
-      dev.name));  // audio.device is selected by NAME (AudioConfig.device)
+  for (const o of d.options) sel.append(new Option(o.label, o.value));
 });
+const show_outcome = (id, r) => {
+  const el = document.getElementById(id);
+  el.className = r.css_class;
+  el.textContent = r.message;
+};
 document.getElementById('hotkey-check').onclick = async () => {
   const key = document.getElementById('hotkey').value;
-  const r = await api('/api/hotkey', {method: 'POST',
-    body: JSON.stringify({key})});
-  const el = document.getElementById('hotkey-msg');
-  el.className = r.ok ? 'ok' : 'err';
-  el.textContent = r.ok ? 'Hotkey OK' : r.error;
+  show_outcome('hotkey-msg', await api('/api/hotkey', {method: 'POST',
+    body: JSON.stringify({key})}));
 };
 document.getElementById('mic-test').onclick = async () => {
-  const el = document.getElementById('mic-msg');
-  el.textContent = 'Listening…';
+  document.getElementById('mic-msg').textContent = 'Listening…';
   const r = await api('/api/mic-test', {method: 'POST', body: '{}'});
-  el.className = r.ok ? 'ok' : 'err';
-  el.textContent = r.ok ?
-    `Mic OK (peak RMS ${r.peak_rms.toFixed(4)})` : r.error;
-  if (r.ok) document.getElementById('meter').style.width =
-    Math.min(100, r.peak_rms * 800) + '%';
+  show_outcome('mic-msg', r);
+  document.getElementById('meter').style.width = r.meter_pct + '%';
 };
-// Finish is a dumb form serializer: all merge/validate/save/start
-// logic runs server-side in PrefsServer.wizard_finish (DOM-free,
-// directly unit-tested — tests/test_web_ui.py).
 document.getElementById('finish').onclick = async () => {
-  const r = await api('/api/wizard/finish', {method: 'POST',
-    body: JSON.stringify({
+  show_outcome('done-msg', await api('/api/wizard/finish',
+    {method: 'POST', body: JSON.stringify({
       model: document.getElementById('model').value,
       hotkey: document.getElementById('hotkey').value,
       device: document.getElementById('device').value,
-      autostart: document.getElementById('autostart').checked})});
-  const el = document.getElementById('done-msg');
-  el.className = r.ok ? 'ok' : 'err';
-  el.textContent = r.ok ? r.message : (r.errors || []).join('; ');
+      autostart: document.getElementById('autostart').checked})}));
 };
 """
 

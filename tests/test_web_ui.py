@@ -167,3 +167,107 @@ def test_wizard_js_is_dumb_serializer(ui):
     assert "/api/wizard/finish" in script
     assert "CFG.transcription" not in script
     assert "CFG.hotkey" not in script
+
+
+# -- round-4 (VERDICT r3 #9): client logic moved server-side -------------------
+
+def test_render_form_field_kinds():
+    from openhush_tpu.ui.web import render_form
+    html = render_form({"a": {"flag": True, "count": 3, "rate": 0.5,
+                              "names": ["x", "y"], "text": 'he said "hi"'},
+                        "skip_me": "not-a-dict"})
+    assert "<h2>a</h2>" in html and "skip_me" not in html
+    assert 'type=checkbox id="a.flag" data-kind=bool checked' in html
+    assert 'type=number step=any id="a.count" data-kind=number' in html
+    assert 'id="a.names" data-kind=list value="x, y"' in html
+    assert "&quot;hi&quot;" in html          # attribute-escaped
+
+
+def test_coerce_raw_types_and_errors():
+    from openhush_tpu.ui.web import coerce_raw
+    cur = {"a": {"flag": False, "count": 3, "rate": 0.5,
+                 "names": ["x"], "text": "t"}}
+    merged, errs = coerce_raw(cur, {
+        "a.flag": True, "a.count": "7", "a.rate": "0.25",
+        "a.names": " p ,, q ", "a.text": "new",
+        "b.nope": "1", "a.count2": "1"})
+    assert merged["a"] == {"flag": True, "count": 7, "rate": 0.25,
+                           "names": ["p", "q"], "text": "new"}
+    assert len(errs) == 2                     # unknown section + key
+    _, errs2 = coerce_raw(cur, {"a.count": "not-a-number"})
+    assert errs2 and "a.count" in errs2[0]
+    assert cur["a"]["count"] == 3             # input never mutated
+
+
+def test_config_get_includes_server_rendered_form(ui):
+    d = _get(ui, "/api/config")
+    assert "form_html" in d and "data-kind=" in d["form_html"]
+
+
+def test_config_post_raw_path_coerces_server_side(ui):
+    d = _get(ui, "/api/config")
+    raw = {"transcription.model": "base",
+           "vad.threshold": "0.75"}
+    r = _post(ui, "/api/config", {"raw": raw})
+    assert r["ok"], r
+    d2 = _get(ui, "/api/config")
+    assert d2["config"]["transcription"]["model"] == "base"
+    assert d2["config"]["vad"]["threshold"] == 0.75
+    # unchanged sections survive the merge
+    assert d2["config"]["audio"] == d["config"]["audio"]
+    r = _post(ui, "/api/config", {"raw": {"vad.threshold": "zzz"}})
+    assert not r["ok"] and "vad.threshold" in r["errors"][0]
+
+
+def test_model_and_device_options_presentation(ui, monkeypatch):
+    from openhush_tpu.ui.web import PrefsServer
+    monkeypatch.setattr(
+        PrefsServer, "model_inventory", staticmethod(lambda: {
+            "models": [{"name": "base", "converted": True},
+                       {"name": "large-v3", "converted": False}],
+            "default": "base", "tpu": False}))
+    opts = PrefsServer.model_options()
+    assert opts["options"] == [
+        {"value": "base", "label": "base (converted)", "selected": True},
+        {"value": "large-v3", "label": "large-v3", "selected": False}]
+    assert "smaller model" in opts["hw_message"]
+    monkeypatch.setattr(
+        PrefsServer, "device_inventory", staticmethod(lambda: [
+            {"index": 0, "name": "Mic", "channels": 2,
+             "sample_rate": 48000}]))
+    dev = PrefsServer.device_options()
+    assert dev["options"][0] == {"value": "", "label": "system default"}
+    assert dev["options"][1] == {"value": "Mic",
+                                 "label": "Mic (2 ch, 48000 Hz)"}
+
+
+def test_hotkey_and_mic_reports(ui, monkeypatch):
+    from openhush_tpu.ui.web import PrefsServer
+    ok = PrefsServer.hotkey_report("ctrl+alt+space")
+    assert ok == {"ok": True, "css_class": "ok", "message": "Hotkey OK"}
+    bad = PrefsServer.hotkey_report("NotAKey!!!")
+    assert not bad["ok"] and bad["css_class"] == "err" and bad["message"]
+    monkeypatch.setattr(PrefsServer, "mic_test", staticmethod(
+        lambda seconds=1.5: {"ok": True, "peak_rms": 0.02,
+                             "mean_rms": 0.01}))
+    r = PrefsServer.mic_test_report()
+    assert r["css_class"] == "ok" and r["meter_pct"] == 16.0
+    assert "0.0200" in r["message"]
+    monkeypatch.setattr(PrefsServer, "mic_test", staticmethod(
+        lambda seconds=1.5: {"ok": False, "error": "no frames"}))
+    r = PrefsServer.mic_test_report()
+    assert r["css_class"] == "err" and r["meter_pct"] == 0.0
+    assert r["message"] == "no frames"
+
+
+def test_page_scripts_are_declarative(ui):
+    """Guard for the whole #9 move: neither page script may contain the
+    branching that now lives server-side — no typeof dispatch, no number
+    parsing, no label construction, no recommendation ternary."""
+    for page in ("/", "/wizard"):
+        script = _get(ui, page, parse=False).split("<script>", 1)[-1]
+        assert "typeof" not in script
+        assert "Number(" not in script
+        assert "toFixed" not in script
+        assert "(converted)" not in script
+        assert "recommended" not in script
