@@ -34,6 +34,12 @@ jax.config.update(
     "jax_compilation_cache_dir",
     os.environ.get("JAX_COMPILATION_CACHE_DIR",
                    os.path.expanduser("~/.cache/jax_comp")))
+# OPENHUSH_BENCH_CPU=1: smoke-test the bench script itself on the CPU
+# backend (the axon sitecustomize force-registers TPU regardless of
+# JAX_PLATFORMS; only jax.config overrides it — same trick as tests/).
+CPU_MODE = os.environ.get("OPENHUSH_BENCH_CPU") == "1"
+if CPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,6 +47,86 @@ from openhush_tpu.models.whisper import model as whisper
 from openhush_tpu.models.whisper.config import get_config
 from openhush_tpu.ops import frontend_pallas
 from openhush_tpu.ops import mel as mel_ops
+
+PARTIAL_PATH = os.environ.get(
+    "OPENHUSH_BENCH_PARTIAL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_PARTIAL.json"))
+
+
+def persist(out: dict) -> None:
+    """Write the current result dict after every completed stage, so a
+    mid-run tunnel death still leaves the numbers measured so far on disk
+    (VERDICT r3 #1: round 3's bench died before printing anything)."""
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            json.dump(out, f)
+            f.write("\n")
+    except OSError:
+        pass
+
+
+def _clear_backend_error_cache() -> None:
+    """JAX caches backend-init FAILURES; clear them so the next attempt
+    re-contacts the TPU instead of rethrowing the recorded error."""
+    try:
+        import jax.extend.backend as _jeb
+        _jeb.clear_backends()
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        import jax._src.xla_bridge as _xb
+        _xb._backend_errors.clear()
+    except Exception:  # noqa: BLE001
+        pass
+
+
+def wait_for_backend() -> None:
+    """Survive the documented axon-tunnel flake at backend init (VERDICT
+    r3 #1: BENCH_r03 died here before printing a number). The flake shows
+    up BOTH as exceptions (FAILED_PRECONDITION / UNAVAILABLE) and as
+    multi-minute HANGS inside jax.devices(), so each probe runs in a
+    SUBPROCESS with a hard timeout; probes retry with backoff within
+    OPENHUSH_BENCH_INIT_BUDGET_S (default 2400 s — sized to outlast the
+    documented 10-30 min flake window). Only after a probe round-trips is
+    the backend touched in-process."""
+    if CPU_MODE:
+        np.asarray(jnp.zeros((), jnp.float32) + 1.0)
+        return
+    import subprocess
+    budget = float(os.environ.get("OPENHUSH_BENCH_INIT_BUDGET_S", "2400"))
+    deadline = time.monotonic() + budget
+    delay, attempt = 60.0, 0
+    probe = ("import numpy, jax, jax.numpy as jnp; "
+             "numpy.asarray(jnp.zeros((), jnp.float32) + 1.0); "
+             "print('ok')")
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run([sys.executable, "-c", probe], timeout=240,
+                               capture_output=True, text=True)
+            if r.returncode == 0 and "ok" in r.stdout:
+                break
+            err = (r.stderr or r.stdout).strip().splitlines()
+            err = err[-1][:160] if err else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            err = "probe hang (>240 s inside backend init)"
+        if time.monotonic() + delay > deadline:
+            raise RuntimeError(
+                f"TPU backend unavailable after {attempt} probes "
+                f"({budget:.0f} s budget): {err}")
+        print(f"[bench] backend probe {attempt} failed ({err}); "
+              f"retrying in {delay:.0f}s", file=sys.stderr, flush=True)
+        time.sleep(delay)
+        delay = min(delay * 2, 600.0)
+    if attempt > 1:
+        print(f"[bench] backend up after {attempt} probes",
+              file=sys.stderr, flush=True)
+    # First in-process contact; the error cache is cleared in case an
+    # earlier in-process attempt already recorded a failure.
+    _clear_backend_error_cache()
+    np.asarray(jnp.zeros((), jnp.float32) + 1.0)
+
 
 MODEL = os.environ.get("OPENHUSH_BENCH_MODEL", "large-v3")
 BATCH = int(os.environ.get("OPENHUSH_BENCH_BATCH", "32"))
@@ -56,7 +142,10 @@ BASELINE_X_REALTIME = 12.5   # reference large-v3 on RTX 3090
 WINDOW_SECS = 30.0
 
 
-def make_bench_step(cfg):
+def make_bench_step(cfg, int8_cache: bool = None):
+    if int8_cache is None:
+        int8_cache = os.environ.get("OPENHUSH_BENCH_INT8_CACHE") == "1"
+
     @jax.jit
     def bench_step(params, audio, prompt):
         """audio [B, 480000] → logits after DECODE_STEPS greedy steps."""
@@ -65,7 +154,7 @@ def make_bench_step(cfg):
         )(audio).astype(jnp.bfloat16)
         feats = whisper.encode(cfg, params, mel)
         cross_kv = whisper.compute_cross_kv_quant(cfg, params, feats)
-        if os.environ.get("OPENHUSH_BENCH_INT8_CACHE") == "1":
+        if int8_cache:
             cache = whisper.init_quant_kv_cache(cfg, audio.shape[0],
                                                 max_len=CACHE_LEN)
         else:
@@ -102,10 +191,6 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
     Returns (x_realtime, tokens_per_sec, accept_rate)."""
     from openhush_tpu.runtime.server import EngineServer
 
-    if force_accept:
-        os.environ["OPENHUSH_SPEC_FORCE_ACCEPT"] = "1"
-    else:
-        os.environ.pop("OPENHUSH_SPEC_FORCE_ACCEPT", None)
     prompt_len = 4           # [sot, lang, transcribe, notimestamps]
     server = EngineServer(
         cfg, params, n_slots=SERVE_SLOTS, inner_steps=8,
@@ -113,6 +198,11 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
         temperatures=(0.0,), logprob_threshold=-1e9,
         no_speech_threshold=2.0,
         draft=draft, k_spec=k_spec,
+        # The bench measures the spec endpoints AT BATCH, so the policy
+        # is pinned (auto would fall back to the plain step for >1 slot);
+        # force-accept is the constructor-only accept=1.0 endpoint.
+        spec_policy="always" if draft is not None else "auto",
+        spec_force_accept=force_accept,
         harvest_every=int(os.environ.get("OPENHUSH_BENCH_HARVEST",
                                          "4")),
         max_admissions_per_turn=SERVE_SLOTS)
@@ -169,11 +259,69 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
         accept = max(0.0, min(1.0, (per_iter - 1) / max(k_spec - 1, 1)))
     else:
         accept = float("nan")
-    os.environ.pop("OPENHUSH_SPEC_FORCE_ACCEPT", None)
     return audio_secs / wall, total_tokens / wall, accept
 
 
+def beam_serving_bench(cfg, params, *, beam_size=5, n_groups=None,
+                       n_windows=None):
+    """Beam-search SERVING throughput (VERDICT r3 #4): G concurrent K-beam
+    groups through the real BeamEngineServer. The group count is sized by
+    the HBM budgeter (G·K bf16 self-caches are the heaviest state in the
+    tree) instead of folklore. Returns (x_realtime, n_groups)."""
+    from openhush_tpu.runtime import beam_batcher
+    from openhush_tpu.runtime.beam_server import BeamEngineServer
+    from openhush_tpu.runtime.server import hbm_fit_count
+
+    prompt_len = 4
+    max_len = prompt_len + DECODE_STEPS + 1
+    want = n_groups or int(os.environ.get("OPENHUSH_BENCH_BEAM_GROUPS",
+                                          "4"))
+    fit = hbm_fit_count(params, functools.partial(
+        beam_batcher.state_bytes, cfg, beam_size=beam_size,
+        max_len=max_len))
+    groups = max(1, min(want, fit) if fit is not None else want)
+    server = BeamEngineServer(
+        cfg, params, beam_size=beam_size, n_slots=groups, inner_steps=8,
+        max_decode_len=max_len, temperatures=(0.0,),
+        logprob_threshold=-1e9, no_speech_threshold=2.0,
+        harvest_every=int(os.environ.get("OPENHUSH_BENCH_HARVEST", "4")),
+        max_admissions_per_turn=groups)
+    # Suppress EOT: every group's beams run the full decode budget —
+    # deterministic per-window work, comparable to the greedy sections.
+    eot = server.tokenizer.special.eot
+    server._suppress = server._suppress.at[eot].set(True)
+
+    n_windows = n_windows or 2 * groups
+    rng = np.random.default_rng(2)
+    audios = [np.asarray(0.1 * rng.standard_normal(mel_ops.N_SAMPLES),
+                         np.float32) for _ in range(min(4, n_windows))]
+
+    def run(n):
+        sid = server.open_session()
+        for i in range(n):
+            server.submit_window(sid, audios[i % len(audios)],
+                                 window_id=i, language="en",
+                                 timestamps=False)
+        got = 0
+        t0 = time.perf_counter()
+        while got < n:
+            server.run_once()
+            while server.poll(sid) is not None:
+                got += 1
+        wall = time.perf_counter() - t0
+        server.close_session(sid)
+        return wall
+
+    run(min(groups, n_windows))          # compile every admit/step shape
+    wall = run(n_windows)
+    server.state = None
+    import gc
+    gc.collect()
+    return n_windows * WINDOW_SECS / wall, groups
+
+
 def main() -> None:
+    wait_for_backend()
     cfg = get_config(MODEL)
     params = whisper.init_params(cfg, jax.random.PRNGKey(0),
                                  dtype=jnp.bfloat16)
@@ -183,8 +331,10 @@ def main() -> None:
     rng = np.random.default_rng(0)
     bench_step = make_bench_step(cfg)
 
-    def raw_x_realtime(batch: int) -> float:
+    def raw_x_realtime(batch: int, step=None, p=None) -> float:
         """min-of-3 raw-loop throughput at a given batch."""
+        step = step or bench_step
+        p = params if p is None else p
         audio = jnp.asarray(0.1 * rng.standard_normal(
             (batch, mel_ops.N_SAMPLES)), jnp.float32)
         prompt = jnp.tile(jnp.asarray([[50258, 50259, 50360]], jnp.int32),
@@ -194,7 +344,7 @@ def main() -> None:
             # Force completion with a host transfer: on this env's axon
             # backend block_until_ready returns before execution finishes,
             # so a (tiny) device→host read is the only reliable fence.
-            return np.asarray(bench_step(params, audio, prompt)[0, :1])
+            return np.asarray(step(p, audio, prompt)[0, :1])
 
         run_sync()  # warm up / compile
         run_sync()
@@ -205,13 +355,48 @@ def main() -> None:
             times.append(time.perf_counter() - t0)
         return batch * WINDOW_SECS / min(times)
 
-    x_realtime = raw_x_realtime(BATCH)
+    # The headline itself retries across a mid-run flake: the first
+    # uncached large-v3 compile takes 5-10 min through the tunnel and can
+    # land inside a degraded window. The compile cache makes retries cheap.
+    last_err = None
+    for headline_try in range(3):
+        try:
+            x_realtime = raw_x_realtime(BATCH)
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            print(f"[bench] headline attempt {headline_try + 1} failed "
+                  f"({type(e).__name__}: {str(e)[:160]})",
+                  file=sys.stderr, flush=True)
+            wait_for_backend()
+    else:
+        raise last_err
     out = {
         "metric": f"{MODEL}_throughput_b{BATCH}_d{DECODE_STEPS}",
         "value": round(x_realtime, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(x_realtime / BASELINE_X_REALTIME, 3),
     }
+    persist(out)
+
+    # Second metric line (VERDICT r3 #2): the combined int8 rung — int8
+    # decoder weights + int8 self-cache + int8 cross-KV + the fused
+    # quantize kernel, one flag (utils/quant_flags.py). Default-off in
+    # production pending the real-weight WER gate; measured every round
+    # so the rung's speedup stays on the official books.
+    if os.environ.get("OPENHUSH_BENCH_INT8_RUNG", "1") == "1":
+        try:
+            q_params = whisper.quantize_decoder_weights(params)
+            rung_x = raw_x_realtime(BATCH,
+                                    step=make_bench_step(cfg,
+                                                         int8_cache=True),
+                                    p=q_params)
+            out["int8_rung_x_realtime"] = round(rung_x, 2)
+            out["int8_rung_vs_bf16"] = round(rung_x / x_realtime, 3)
+            del q_params
+            persist(out)
+        except Exception as e:  # noqa: BLE001 — headline must survive
+            out["int8_rung_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # End-to-end SERVING numbers (VERDICT r2 #2): the same per-window work
     # through the real EngineServer (admission + batched decode + harvest),
@@ -230,10 +415,23 @@ def main() -> None:
                          else raw_x_realtime(SERVE_SLOTS))
             if SERVE_SLOTS != BATCH:
                 out[f"raw_b{SERVE_SLOTS}_x_realtime"] = round(raw_serve, 2)
+            persist(out)
             serving_x, tps, _ = serving_bench(cfg, params)
             out["serving_x_realtime"] = round(serving_x, 2)
             out["serving_frac_of_raw"] = round(serving_x / raw_serve, 3)
             out["serving_tokens_per_sec"] = round(tps, 1)
+            persist(out)
+
+            if time.monotonic() > deadline:
+                raise TimeoutError("bench budget exhausted after plain "
+                                   "serving (degraded dispatch latency)")
+            if os.environ.get("OPENHUSH_BENCH_BEAM", "1") == "1":
+                beam_x, beam_groups = beam_serving_bench(cfg, params)
+                out["beam_x_realtime"] = round(beam_x, 2)
+                out["beam_groups"] = beam_groups
+                out["beam_frac_of_greedy_serving"] = round(
+                    beam_x / serving_x, 3)
+                persist(out)
 
             if time.monotonic() > deadline:
                 raise TimeoutError("bench budget exhausted after plain "
@@ -256,6 +454,7 @@ def main() -> None:
                 lo_x, _, lo_acc = serving_bench(cfg, params, draft=draft)
                 out["spec_serving_x_accept0"] = round(lo_x, 2)
                 out["spec_measured_accept_random_draft"] = round(lo_acc, 3)
+                persist(out)
                 if time.monotonic() > deadline:
                     raise TimeoutError("bench budget exhausted before "
                                        "force-accept config")
@@ -271,8 +470,20 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — headline must survive
             out["serving_error"] = f"{type(e).__name__}: {e}"[:200]
 
+    persist(out)
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:
+        # Even a total failure leaves a machine-readable trace next to any
+        # stage results persisted before the death.
+        try:
+            with open(PARTIAL_PATH, "a") as f:
+                json.dump({"fatal": f"{type(e).__name__}: {e}"[:300]}, f)
+                f.write("\n")
+        except OSError:
+            pass
+        raise

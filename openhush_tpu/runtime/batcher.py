@@ -163,6 +163,24 @@ def init_state(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
     )
 
 
+def state_bytes(cfg: WhisperConfig, n_slots: int, dtype=jnp.bfloat16,
+                int8_self_cache: bool = False,
+                max_len: Optional[int] = None,
+                audio_ctx: Optional[int] = None,
+                draft_cfg: Optional[WhisperConfig] = None) -> int:
+    """Exact device bytes init_state(...) will allocate, computed via
+    jax.eval_shape so it can never drift from the allocation code. The
+    HBM budgeter (server._check_hbm_budget) uses this to refuse slot
+    counts that would RESOURCE_EXHAUSTED the chip mid-run — 'n_slots=32
+    exhausts HBM' was folklore in a bench comment until round 4."""
+    shapes = jax.eval_shape(functools.partial(
+        init_state, cfg, n_slots, dtype=dtype,
+        int8_self_cache=int8_self_cache, max_len=max_len,
+        audio_ctx=audio_ctx, draft_cfg=draft_cfg))
+    return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+               for x in jax.tree.leaves(shapes))
+
+
 # `tokens` and `pos` are deliberately excluded from buffer donation: they are
 # the host-readable decode tape that EngineServer.peek() reads from arbitrary
 # threads while the device loop runs. Donating them would delete the buffers
@@ -501,26 +519,36 @@ def _choose_tokens(lg, temperature, rng):
 def step(cfg: WhisperConfig, params, state: SlotState,
          suppress_mask: jax.Array, *, inner_steps: int = 8,
          max_initial_index: int = 50, blank_token: int = 220,
-         rep_threshold: int = 12) -> SlotState:
+         rep_threshold: int = 12,
+         room_cap: Optional[int] = None) -> SlotState:
     """Advance every active unfinished slot by `inner_steps` tokens (greedy,
     or sampled where the row's temperature > 0). A row whose last
     `rep_threshold` tokens all short-cycle (period 1 or 2) is finished early
-    with `degenerate=True` — the device-side repetition guard."""
+    with `degenerate=True` — the device-side repetition guard.
+
+    room_cap: explicit logical decode budget. REQUIRED for exactness when
+    the state was allocated with draft_cfg (spec_policy="auto" runs plain
+    steps on spec-margined buffers: deriving the limit from the buffer
+    width would allow SPEC_MARGIN extra tokens). Defaults to the buffer
+    width - 1."""
     donated, kept = _pack(state)
     return _step_impl(cfg, params, donated, kept, suppress_mask,
                       inner_steps=inner_steps,
                       max_initial_index=max_initial_index,
-                      blank_token=blank_token, rep_threshold=rep_threshold)
+                      blank_token=blank_token, rep_threshold=rep_threshold,
+                      room_cap=room_cap)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "inner_steps",
                                              "max_initial_index",
-                                             "blank_token", "rep_threshold"),
+                                             "blank_token", "rep_threshold",
+                                             "room_cap"),
                    donate_argnums=(2,))
 def _step_impl(cfg: WhisperConfig, params, donated, kept,
                suppress_mask: jax.Array, *, inner_steps: int = 8,
                max_initial_index: int = 50,
-               blank_token: int = 220, rep_threshold: int = 12) -> SlotState:
+               blank_token: int = 220, rep_threshold: int = 12,
+               room_cap: Optional[int] = None) -> SlotState:
     state = _unpack(donated, kept)
     sp = WhisperTokenizer(cfg.n_langs).special
     sp_consts = (sp.timestamp_begin, sp.eot)
@@ -572,7 +600,8 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
         ts_floor = keep(new_ts[2], state.ts_floor)
 
         hit_eot = nxt == eot
-        out_of_room = state.pos >= T - 1
+        out_of_room = state.pos >= (T - 1 if room_cap is None
+                                    else room_cap)
         finished = state.finished | (live & (hit_eot | out_of_room
                                              | degenerate_now))
 

@@ -136,6 +136,21 @@ def init_state(cfg: WhisperConfig, n_groups: int, beam_size: int,
     )
 
 
+def state_bytes(cfg: WhisperConfig, n_groups: int, beam_size: int,
+                dtype=jnp.bfloat16, max_len: Optional[int] = None,
+                audio_ctx: Optional[int] = None) -> int:
+    """Exact device bytes init_state(...) will allocate (jax.eval_shape —
+    can't drift from the allocation code). Beam groups are the
+    HBM-heaviest state in the tree: G·K bf16 self-caches plus G·K int8
+    cross-KV copies; the server budgeter sizes G against the chip."""
+    import numpy as np
+    shapes = jax.eval_shape(functools.partial(
+        init_state, cfg, n_groups, beam_size, dtype=dtype,
+        max_len=max_len, audio_ctx=audio_ctx))
+    return sum(int(np.prod(x.shape)) * x.dtype.itemsize
+               for x in jax.tree.leaves(shapes))
+
+
 def admit(cfg: WhisperConfig, params, state: BeamState, group: jax.Array,
           new_xkv: whisper.QuantKVCache, prompt: jax.Array,
           use_timestamps: jax.Array, *, prompt_len: int,

@@ -56,6 +56,11 @@ class BeamEngineServer(EngineServer):
         if int8_self_cache:
             log.warning("int8 self-cache is unsupported with beam serving; "
                         "using %s", np.dtype(dtype).name)
+        import functools
+        self._check_hbm_budget(functools.partial(
+            beam_batcher.state_bytes, self.cfg,
+            beam_size=self.beam_size, dtype=dtype, max_len=max_len,
+            audio_ctx=self.audio_ctx), unit="beam-group")
         self.state = beam_batcher.init_state(
             self.cfg, self.n_slots, self.beam_size, dtype=dtype,
             max_len=max_len, audio_ctx=self.audio_ctx)

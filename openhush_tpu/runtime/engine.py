@@ -121,8 +121,10 @@ class WhisperEngine:
                 f"python -m openhush_tpu.cli model convert {model} "
                 f"--hf-path /path/to/hf_checkpoint")
         if quantize_weights is None:
-            quantize_weights = os.environ.get(
+            from openhush_tpu.utils.quant_flags import int8_rung_enabled
+            quantize_weights = (os.environ.get(
                 "OPENHUSH_INT8_WEIGHTS", "0") == "1"
+                or int8_rung_enabled())
         if quantize_weights:
             # int8 per-output-channel decoder weights: halves the largest
             # per-token HBM read; prob diff ~1e-4 vs bf16.

@@ -12,7 +12,9 @@ behind sub-second first-partial latency.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
+import os
 import queue
 import threading
 import time
@@ -54,6 +56,53 @@ def compression_ratio(text: str) -> float:
     if not data:
         return 0.0
     return len(data) / len(zlib.compress(data))
+
+
+def device_hbm_limit() -> Optional[int]:
+    """Device 0's HBM capacity in bytes: OPENHUSH_HBM_BYTES override, else
+    the runtime's memory_stats. None = unknown (e.g. the CPU test backend),
+    which disables the slot budgeter."""
+    env = os.environ.get("OPENHUSH_HBM_BYTES")
+    if env:
+        return int(env) or None
+    try:
+        dev = jax.devices()[0]
+        if dev.platform == "cpu":
+            return None
+        stats = dev.memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:  # noqa: BLE001 — budgeting is best-effort
+        pass
+    return None
+
+
+# Fraction of HBM the budgeter hands to weights + slot state; the rest
+# covers encode activations, prep buffers, logits and XLA workspace.
+HBM_BUDGET_FRACTION = 0.85
+
+
+def hbm_fit_count(params, state_bytes_at, draft_params=None
+                  ) -> Optional[int]:
+    """Largest slot/group count whose device state fits next to the
+    weights under HBM_BUDGET_FRACTION, or None when the HBM capacity is
+    unknown (CPU test backend). state_bytes_at(n) → exact bytes of the
+    batch state at n slots/groups (batcher.state_bytes /
+    beam_batcher.state_bytes partials)."""
+    limit = device_hbm_limit()
+    if limit is None:
+        return None
+    nbytes = lambda tree: sum(int(np.prod(p.shape)) * p.dtype.itemsize
+                              for p in jax.tree.leaves(tree))
+    weights = nbytes(params)
+    if draft_params is not None:
+        weights += nbytes(draft_params)
+    budget = int(limit * HBM_BUDGET_FRACTION) - weights
+    per = max(1, state_bytes_at(1))
+    fits = max(0, budget // per)
+    while fits > 0 and state_bytes_at(fits) > budget:
+        fits -= 1
+    return fits
 
 
 def slot_seed(info) -> int:
@@ -115,6 +164,8 @@ class EngineServer:
                  int8_self_cache: Optional[bool] = None,
                  draft: Optional[tuple] = None,
                  k_spec: int = 4,
+                 spec_policy: str = "auto",
+                 spec_force_accept: bool = False,
                  harvest_every: int = 1,
                  deep_factor: int = 4):
         self.cfg = cfg
@@ -137,6 +188,25 @@ class EngineServer:
         # one pass (token-identical to the plain step; speed-only).
         self.draft_cfg = self.draft_params = None
         self.k_spec = max(2, int(k_spec))
+        # Spec policy (measured crossover, docs/STATUS.md round 3): the
+        # batch path is HBM-amortized, so speculation LOSES whenever >1
+        # slot decodes together (accept-1.0 endpoint 190x vs plain 250x)
+        # and wins ~2x single-stream. "auto" (default) re-picks the mode
+        # every time the batcher drains empty: spec iff exactly one window
+        # is waiting. "always"/"never" pin it (bench measures endpoints
+        # with "always"). Mode switches only at occupancy 0 — the two step
+        # kernels leave different cache-fill conventions (spec keeps the
+        # tip OUT of the cache), so switching mid-decode would corrupt
+        # attention for in-flight slots.
+        if spec_policy not in ("auto", "always", "never"):
+            raise ValueError(f"spec_policy {spec_policy!r} not in "
+                             "('auto', 'always', 'never')")
+        self.spec_policy = spec_policy
+        self._spec_mode = spec_policy == "always"
+        # BENCH-ONLY: accept=1.0 endpoint (breaks token-exactness — the
+        # accept chain never re-checks the draft). Constructor-only by
+        # design: no env var can reach this (VERDICT r3 weak #3).
+        self.spec_force_accept = bool(spec_force_accept)
         if draft is not None:
             dcfg, dparams = draft
             compatible = (dcfg.n_text_state == cfg.n_text_state
@@ -155,17 +225,20 @@ class EngineServer:
         # traffic per decode step than the full 30 s context.
         self.audio_ctx = min(audio_ctx or cfg.n_audio_ctx, cfg.n_audio_ctx)
         if int8_self_cache is None:
-            import os
             env = os.environ.get("OPENHUSH_INT8_SELF_CACHE")
             if env is not None:
                 int8_self_cache = env == "1"
             else:
-                # tools/checkpoint_gate.py drops this marker after a
-                # real-weight WER run shows <0.1 abs drift — the gated
-                # default-flip of the int8 self-cache rung.
+                # The combined int8 rung (utils/quant_flags.py) or the
+                # standalone self-cache marker — both dropped by
+                # tools/checkpoint_gate.py after a real-weight WER run
+                # shows <0.1 abs drift (gated default-flip).
                 from openhush_tpu.runtime.engine import default_model_dir
-                int8_self_cache = os.path.exists(os.path.join(
-                    default_model_dir(), "int8_self_cache.ok"))
+                from openhush_tpu.utils.quant_flags import int8_rung_enabled
+                int8_self_cache = (int8_rung_enabled()
+                                   or os.path.exists(os.path.join(
+                                       default_model_dir(),
+                                       "int8_self_cache.ok")))
         self.room_cap = (max_decode_len or cfg.n_text_ctx) - 1
         self._init_device_state(dtype=dtype, max_len=max_decode_len,
                                 int8_self_cache=int8_self_cache)
@@ -356,6 +429,15 @@ class EngineServer:
                 if not jobs:
                     break
                 self._prepare_many(jobs)
+        if self.draft_cfg is not None and self.spec_policy == "auto":
+            # Re-pick the dispatch mode only while the batcher is EMPTY
+            # (mid-decode switches corrupt cache-fill conventions — see
+            # __init__): speculate iff exactly one window is waiting.
+            with self._lock:
+                occupied = bool(self._slots)
+            if not occupied:
+                waiting = self._ready.qsize() + self._pending.qsize()
+                self._spec_mode = waiting == 1
         worked = self._admit_pending()
         with self._lock:
             n_active = len(self._slots)
@@ -380,11 +462,39 @@ class EngineServer:
     def _init_device_state(self, *, dtype, max_len, int8_self_cache) -> None:
         """Allocate the device-side batch state (overridden by
         BeamEngineServer to allocate beam groups instead of slots)."""
+        self._check_hbm_budget(functools.partial(
+            batcher.state_bytes, self.cfg, dtype=dtype, max_len=max_len,
+            audio_ctx=self.audio_ctx, int8_self_cache=int8_self_cache,
+            draft_cfg=self.draft_cfg), unit="slot")
         self.state = batcher.init_state(self.cfg, self.n_slots, dtype=dtype,
                                         max_len=max_len,
                                         audio_ctx=self.audio_ctx,
                                         int8_self_cache=int8_self_cache,
                                         draft_cfg=self.draft_cfg)
+
+    def _check_hbm_budget(self, state_bytes_at, *, unit: str) -> None:
+        """Refuse slot counts whose device state cannot fit next to the
+        weights — computed exactly from cfg (batcher.state_bytes), not
+        discovered as a RESOURCE_EXHAUSTED mid-run. state_bytes_at(n) →
+        bytes of the batch state at n slots/groups. No-op when the HBM
+        capacity is unknown (CPU test backend)."""
+        fits = hbm_fit_count(self.params, state_bytes_at,
+                             draft_params=self.draft_params)
+        if fits is None or self.n_slots <= fits:
+            return
+        limit = device_hbm_limit()
+        nbytes = lambda tree: sum(int(np.prod(p.shape)) * p.dtype.itemsize
+                                  for p in jax.tree.leaves(tree))
+        weights = nbytes(self.params)
+        if self.draft_params is not None:
+            weights += nbytes(self.draft_params)
+        raise ValueError(
+            f"n_slots={self.n_slots} needs "
+            f"{state_bytes_at(self.n_slots) / 2**30:.2f} GiB of {unit} "
+            f"state next to {weights / 2**30:.2f} GiB of weights "
+            f"(chip: {limit / 2**30:.2f} GiB, "
+            f"{HBM_BUDGET_FRACTION:.0%} budgeted); "
+            f"largest {unit} count that fits: {fits}")
 
     def _step_state(self, deep: bool = False) -> None:
         """One step dispatch over the device state (overridden by
@@ -392,8 +502,7 @@ class EngineServer:
         `deep` multiplies the scan length by deep_factor — two compiled
         step variants total, identical per-token math."""
         inner = self.inner_steps * (self.deep_factor if deep else 1)
-        if self.draft_cfg is not None:
-            import os
+        if self.draft_cfg is not None and self._spec_mode:
             n_iters = max(1, inner // self.k_spec)
             self.spec_iters += n_iters   # accept-rate accounting
             self.state = batcher.spec_step(
@@ -404,14 +513,16 @@ class EngineServer:
                 room_cap=self.room_cap,
                 blank_token=self._blank_token,
                 rep_threshold=self.rep_threshold,
-                force_accept=os.environ.get(
-                    "OPENHUSH_SPEC_FORCE_ACCEPT") == "1")
+                force_accept=self.spec_force_accept)
         else:
             self.state = batcher.step(
                 self.cfg, self.params, self.state, self._suppress,
                 inner_steps=inner,
                 blank_token=self._blank_token,
-                rep_threshold=self.rep_threshold)
+                rep_threshold=self.rep_threshold,
+                # Explicit cap: spec-margined states carry SPEC_MARGIN
+                # extra buffer rows that must not extend the decode.
+                room_cap=self.room_cap)
 
     def _free_slots(self) -> list[int]:
         with self._lock:

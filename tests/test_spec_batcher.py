@@ -68,7 +68,8 @@ def test_spec_server_token_exact_vs_plain(setup, k_spec):
                          dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
     spec = EngineServer(cfg, params, n_slots=2, inner_steps=8,
                         dtype=jnp.float32, tokenizer=tok,
-                        draft=(dcfg, dparams), k_spec=k_spec, **NO_GUARDS)
+                        draft=(dcfg, dparams), k_spec=k_spec,
+                        spec_policy="always", **NO_GUARDS)
     assert spec.draft_cfg is not None
     r_plain = _run_server(plain, audios)
     r_spec = _run_server(spec, audios)
@@ -88,10 +89,12 @@ def test_spec_server_output_invariant_to_draft(setup):
     audios = _audios(2, seed=11)
     spec1 = EngineServer(cfg, params, n_slots=2, inner_steps=8,
                          dtype=jnp.float32, tokenizer=tok,
-                         draft=(dcfg, dparams), **NO_GUARDS)
+                         draft=(dcfg, dparams), spec_policy="always",
+                         **NO_GUARDS)
     spec2 = EngineServer(cfg, params, n_slots=2, inner_steps=8,
                          dtype=jnp.float32, tokenizer=tok,
-                         draft=(dcfg, sliced), **NO_GUARDS)
+                         draft=(dcfg, sliced), spec_policy="always",
+                         **NO_GUARDS)
     r1 = _run_server(spec1, audios)
     r2 = _run_server(spec2, audios)
     for a, b in zip(r1, r2):
@@ -105,7 +108,8 @@ def test_spec_server_no_timestamps_mode(setup):
                          dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
     spec = EngineServer(cfg, params, n_slots=2, inner_steps=8,
                         dtype=jnp.float32, tokenizer=tok,
-                        draft=(dcfg, dparams), **NO_GUARDS)
+                        draft=(dcfg, dparams), spec_policy="always",
+                         **NO_GUARDS)
     for srv in (plain, spec):
         for i, a in enumerate(audios):
             sid = srv.open_session()
@@ -139,6 +143,56 @@ def test_spec_server_incompatible_draft_disabled(setup):
     assert r[0] is not None
 
 
+def test_spec_policy_auto(setup):
+    """spec_policy="auto" (default) applies the measured crossover
+    (docs/STATUS.md r3: spec loses at batch even at accept=1.0, wins ~2x
+    single-stream): a burst of windows runs the PLAIN step, a lone window
+    runs the SPECULATIVE step — re-picked only when the batcher drains —
+    and both modes stay token-exact vs an always-plain server."""
+    cfg, params, dcfg, dparams, tok = setup
+    srv = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                       dtype=jnp.float32, tokenizer=tok,
+                       draft=(dcfg, dparams), **NO_GUARDS)
+    assert srv.spec_policy == "auto" and not srv._spec_mode
+    # Even batch: every drain point sees 0 or 2 waiting → all-plain.
+    r_batch = _run_server(srv, _audios(4))
+    assert srv.spec_iters == 0            # >1 waiting → plain dispatch
+    [r_one] = _run_server(srv, _audios(1, seed=21))
+    assert srv.spec_iters > 0             # lone window → spec dispatch
+    # Odd batch: the TAIL window decodes alone, so auto flips it to the
+    # spec path at the drain point (single-stream latency win) — and the
+    # output must still be exact.
+    iters_before = srv.spec_iters
+    r_odd = _run_server(srv, _audios(3, seed=33))
+    assert srv.spec_iters > iters_before
+
+    plain = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                         dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
+    rp_batch = _run_server(plain, _audios(4))
+    [rp_one] = _run_server(plain, _audios(1, seed=21))
+    rp_odd = _run_server(plain, _audios(3, seed=33))
+    for a, b in zip(r_batch + [r_one] + r_odd,
+                    rp_batch + [rp_one] + rp_odd):
+        assert a.tokens == b.tokens
+
+
+def test_spec_force_accept_unreachable_via_env(setup, monkeypatch):
+    """The bench-only accept=1.0 mode is constructor-only (VERDICT r3
+    weak #3): the retired env var must change nothing."""
+    cfg, params, dcfg, dparams, tok = setup
+    monkeypatch.setenv("OPENHUSH_SPEC_FORCE_ACCEPT", "1")
+    srv = EngineServer(cfg, params, n_slots=1, inner_steps=8,
+                       dtype=jnp.float32, tokenizer=tok,
+                       draft=(dcfg, dparams), spec_policy="always",
+                       **NO_GUARDS)
+    assert srv.spec_force_accept is False
+    plain = EngineServer(cfg, params, n_slots=1, inner_steps=8,
+                         dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
+    [rs] = _run_server(srv, _audios(1, seed=13))
+    [rp] = _run_server(plain, _audios(1, seed=13))
+    assert rs.tokens == rp.tokens
+
+
 def test_spec_server_fallback_ladder(setup):
     """Quality-guard retries (readmit path) must work under speculation:
     force every first pass to 'fallback' via an impossible logprob
@@ -146,7 +200,7 @@ def test_spec_server_fallback_ladder(setup):
     cfg, params, dcfg, dparams, tok = setup
     srv = EngineServer(cfg, params, n_slots=1, inner_steps=8,
                        dtype=jnp.float32, tokenizer=tok,
-                       draft=(dcfg, dparams),
+                       draft=(dcfg, dparams), spec_policy="always",
                        temperatures=(0.0, 0.5), logprob_threshold=1e9,
                        no_speech_threshold=2.0)
     [res] = _run_server(srv, _audios(1, seed=9))
