@@ -113,6 +113,32 @@ def shard_slot_state(state, mesh: Mesh, n_slots: int):
     return jax.tree.map(place, state)
 
 
+def shard_beam_state(state, mesh: Mesh, n_groups: int,
+                     beam_size: int):
+    """Place a beam-serving BeamState on the mesh: GROUPS over 'data',
+    everything else replicated. The flat G*K row dimension is group-major,
+    so splitting it at group boundaries (requires n_groups % n_data == 0)
+    keeps every beam expansion's cross-row work — top-k over K·V
+    candidates, beam reordering gathers — local to one device; only the
+    weights' TP collectives cross chips. Token-exact vs single-device
+    (tests/test_beam_server.py on the virtual mesh)."""
+    n_data = mesh.shape[DATA_AXIS]
+    if n_groups % n_data:
+        raise ValueError(f"n_groups={n_groups} not divisible by the data "
+                         f"axis ({n_data}); beam groups must not straddle "
+                         "devices")
+    gk = n_groups * beam_size
+
+    def place(a):
+        if a.ndim >= 2 and a.shape[1] == gk:         # [L, G*K, ...]
+            return jax.device_put(a, NamedSharding(mesh, P(None, DATA_AXIS)))
+        if a.ndim >= 1 and a.shape[0] in (gk, n_groups):  # [G*K|G, ...]
+            return jax.device_put(a, NamedSharding(mesh, P(DATA_AXIS)))
+        return jax.device_put(a, NamedSharding(mesh, P()))
+
+    return jax.tree.map(place, state)
+
+
 def enable_sharded_flash(mesh: Mesh) -> None:
     """Switch the encoder's flash-attention path to explicit shard_map
     partitioning on `mesh` (batch on 'data', heads on 'model'). Replaces

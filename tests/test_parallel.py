@@ -151,6 +151,70 @@ def test_batcher_sharded_serving_token_exact():
     np.testing.assert_array_equal(run(False), run(True))
 
 
+def test_beam_sharded_serving_token_exact():
+    """Beam GROUPS under a (data, model) mesh (VERDICT r3 #4): groups
+    sharded across chips at group boundaries — every top-k/reorder stays
+    device-local — must produce token-identical beams."""
+    import contextlib
+
+    from openhush_tpu.models.whisper import decoding
+    from openhush_tpu.models.whisper import model as whisper_model
+    from openhush_tpu.models.whisper.config import get_config
+    from openhush_tpu.runtime import beam_batcher
+    from openhush_tpu.text.tokenizer import WhisperTokenizer
+
+    cfg = get_config("test")
+    params = whisper_model.init_params(cfg, jax.random.PRNGKey(4))
+    tok = WhisperTokenizer(cfg.n_langs)
+    mesh = sh.create_mesh(n_model=2)          # data axis = 4
+    G, K = 4, 3
+    rng = np.random.default_rng(9)
+    mel = rng.standard_normal((1, 80, 3000)).astype(np.float32) * 0.5
+    feats = whisper_model.encode(cfg, params, mel)
+    xkv_q = whisper_model.compute_cross_kv_quant(cfg, params, feats)
+    prompt = tok.sot_sequence("en", "transcribe")
+    p = jnp.asarray([prompt], jnp.int32)
+    suppress = jnp.asarray(decoding.build_suppress_mask(
+        tok, cfg, decoding.DecodingOptions()))
+    blank = tok.encode(" ")[0]
+
+    def run(sharded):
+        state = beam_batcher.init_state(cfg, G, K, dtype=jnp.float32,
+                                        max_len=32)
+        ps = params
+        if sharded:
+            ps = sh.shard_params(params, mesh)
+            state = sh.shard_beam_state(state, mesh, G, K)
+        ctx = jax.set_mesh(mesh) if sharded else contextlib.nullcontext()
+        with ctx:
+            for g in (0, 2):
+                state = beam_batcher.admit(
+                    cfg, ps, state, jnp.int32(g), xkv_q, p,
+                    jnp.asarray(True), prompt_len=len(prompt),
+                    max_new=jnp.int32(16))
+            for _ in range(2):
+                state = beam_batcher.step(cfg, ps, state, suppress,
+                                          inner_steps=4, blank_token=blank)
+        return (np.asarray(state.tokens)[[0, 2]],
+                np.asarray(state.alive_lp)[[0, 2]])
+
+    ref_tok, ref_lp = run(False)
+    out_tok, out_lp = run(True)
+    np.testing.assert_array_equal(ref_tok, out_tok)
+    np.testing.assert_allclose(ref_lp, out_lp, atol=2e-4)
+
+
+def test_shard_beam_state_rejects_straddling_groups():
+    from openhush_tpu.models.whisper.config import get_config
+    from openhush_tpu.runtime import beam_batcher
+
+    cfg = get_config("test")
+    mesh = sh.create_mesh(n_model=2)          # data axis = 4
+    state = beam_batcher.init_state(cfg, 2, 3, max_len=32)
+    with pytest.raises(ValueError, match="straddle"):
+        sh.shard_beam_state(state, mesh, 2, 3)
+
+
 def test_sharded_flash_encoder_token_exact(cfg):
     """Encoder under the shard_map flash wrapper (VERDICT r2 #3): with a
     mesh registered, _attend_full partitions explicitly (B on data, H on
