@@ -285,6 +285,11 @@ class DiarizationEngine:
     def has_segmentation(self) -> bool:
         return self.seg_fn is not None or self.seg_params is not None
 
+    def reset(self) -> None:
+        """Forget the speaker bank (new meeting/recording): multi-file
+        evaluations must not let file A's speakers absorb file B's."""
+        self.clusterer = EmbeddingClusterer(self.config)
+
     @classmethod
     def from_local(cls, config: Optional[DiarizationConfig] = None
                    ) -> "DiarizationEngine":

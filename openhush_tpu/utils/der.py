@@ -187,6 +187,71 @@ def synth_meeting(rng: np.random.Generator, n_speakers: int,
     return audio, turns
 
 
+def load_rttm(path: str) -> list[Turn]:
+    """Parse a NIST RTTM file (the AMI / pyannote interchange format:
+    `SPEAKER <file> 1 <tbeg> <tdur> <NA> <NA> <name> ...`)."""
+    turns: list[Turn] = []
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 8 and parts[0] == "SPEAKER":
+                t0, dur = float(parts[3]), float(parts[4])
+                turns.append(Turn(t0, t0 + dur, parts[7]))
+    return turns
+
+
+def write_rttm(path: str, file_id: str, turns: Sequence[Turn]) -> None:
+    with open(path, "w") as f:
+        for t in turns:
+            f.write(f"SPEAKER {file_id} 1 {t.start:.3f} "
+                    f"{t.end - t.start:.3f} <NA> <NA> spk{t.speaker} "
+                    f"<NA> <NA>\n")
+
+
+def evaluate_rttm_dataset(root: str, engine=None,
+                          chunk_secs: float = 5.0,
+                          limit: int | None = None,
+                          progress: bool = False) -> DerResult:
+    """DER over a real diarization dataset: a directory of <name>.wav
+    files with matching <name>.rttm references (AMI-layout; the
+    checkpoint gate points this at real meetings once the networked run
+    fetches them — reference scope: pretrained pyannote in
+    src/diarization/mod.rs:266-299)."""
+    import os
+
+    from openhush_tpu.audio.wav import load_wav
+    from openhush_tpu.models.diarization import DiarizationEngine
+
+    if engine is None:
+        engine = DiarizationEngine.from_local()
+    sr = 16000
+    results = []
+    wavs = sorted(f for f in os.listdir(root) if f.endswith(".wav"))
+    for n, wav in enumerate(wavs):
+        if limit and n >= limit:
+            break
+        rttm = os.path.join(root, wav[:-4] + ".rttm")
+        if not os.path.exists(rttm):
+            continue
+        ref = load_rttm(rttm)
+        audio = load_wav(os.path.join(root, wav))
+        engine.reset()   # fresh speaker bank per recording
+        hyp: list[Turn] = []
+        win = int(chunk_secs * sr)
+        for s0 in range(0, len(audio), win):
+            for seg in engine.diarize_chunk(audio[s0:s0 + win],
+                                            offset_secs=s0 / sr):
+                hyp.append(Turn(seg.start_secs, seg.end_secs,
+                                f"spk{seg.speaker_id}"))
+        r = der(ref, hyp, total_secs=len(audio) / sr)
+        results.append(r)
+        if progress:
+            print(f"  {wav}: {r}")
+    if not results:
+        raise FileNotFoundError(f"no wav+rttm pairs under {root}")
+    return aggregate(results)
+
+
 def evaluate_synthetic_meetings(engine=None, n_meetings: int = 5,
                                 seed: int = 0, secs: float = 20.0,
                                 chunk_secs: float = 5.0,

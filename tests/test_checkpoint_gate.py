@@ -35,7 +35,9 @@ def test_gate_offline_dryrun(tmp_path):
     assert report["ok"]
     expected = {"whisper_convert", "whisper_parity", "wer_bf16",
                 "wer_int8_self", "int8_decision", "wer_gelu_tanh",
-                "gelu_decision", "m2m100_convert", "aux_convert"}
+                "gelu_decision", "wer_int8_rung", "int8_rung_decision",
+                "spec_accept_rate", "m2m100_convert", "aux_convert",
+                "silero_sanity", "diarization_der"}
     assert expected <= set(report["stages"])
     for name in expected:
         assert report["stages"][name]["ok"], (name,
@@ -47,3 +49,13 @@ def test_gate_offline_dryrun(tmp_path):
     assert report["stages"]["gelu_decision"]["detail"][
         "default_flipped"] is False
     assert not (tmp_path / "models" / "gelu_tanh.ok").exists()
+    assert report["stages"]["int8_rung_decision"]["detail"][
+        "default_flipped"] is False
+    assert not (tmp_path / "models" / "int8_rung.ok").exists()
+    # Accept-rate stage measures a real number in [0, 1] + the projected
+    # tokens/iteration the spec policy consumes.
+    acc = report["stages"]["spec_accept_rate"]["detail"]
+    assert 0.0 <= acc["accept"] <= 1.0 and acc["positions"] > 0
+    assert 1.0 <= acc["expected_tokens_per_iter_k4"] <= 4.0
+    der = report["stages"]["diarization_der"]["detail"]
+    assert 0.0 <= der["der"] <= 2.0

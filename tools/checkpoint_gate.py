@@ -19,10 +19,26 @@ Stages (each recorded in gate_report.json as {ok, seconds, detail}):
   7. gelu_decision     drift < 0.1 abs → drops models/gelu_tanh.ok
                        (model._gelu flips its default on that marker;
                        −16% encoder time)
-  8. m2m100_convert    HF M2M-100 → npz
-  9. aux_convert       Silero / openWakeWord / wespeaker / RNNoise via
+  8. wer_int8_rung     SERVING-path WER with the FULL combined int8 rung
+                       (int8 decoder weights + int8 self-cache + int8
+                       cross-KV + fused quantize kernel — one flag,
+                       utils/quant_flags.py; measured 295x vs bf16 250x)
+  9. int8_rung_decision drift < 0.1 abs → drops models/int8_rung.ok
+                       (engine + server flip the whole rung on it)
+ 10. spec_accept_rate  real-draft acceptance: per-position agreement of
+                       the draft's greedy argmax with the big model's
+                       next token over dataset decodes — the measured
+                       input to the spec-policy crossover
+ 11. m2m100_convert    HF M2M-100 → npz
+ 12. aux_convert       Silero / openWakeWord / wespeaker / RNNoise via
                        `model convert-aux` + tools/validate_aux.py
                        (resolves the Silero STFT pad-mode into the npz)
+ 13. silero_sanity     converted Silero over a speech-like WAV vs
+                       silence: p(speech) > p(silence) with headroom
+                       (real weights; dryrun only checks the range)
+ 14. diarization_der   DER/JER over an RTTM-layout dataset dir
+                       (--diarization-dataset: <name>.wav + <name>.rttm,
+                       AMI-style) with a fresh speaker bank per file
 
 `--offline-dryrun` builds SYNTHETIC checkpoints for every family
 (random weights, real file formats) and executes all stages end-to-end
@@ -45,6 +61,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+
+
+def _pythonpath() -> str:
+    """REPO prepended to the inherited PYTHONPATH — REPLACING it would
+    drop site dirs the host injects (e.g. the axon TPU plugin's site
+    path), killing backend init inside gate subprocesses."""
+    inherited = os.environ.get("PYTHONPATH", "")
+    return REPO + (os.pathsep + inherited if inherited else "")
 
 INT8_WER_DRIFT_MAX = 0.001   # 0.1 absolute WER percentage points
 
@@ -96,10 +120,14 @@ def _engine_wer(model: str, dataset: str, limit):
 
 
 class _ServerEngine:
-    """engine.transcribe-shaped adapter over EngineServer — the WER run
-    for the int8 self-cache rung goes through the ACTUAL serving path."""
+    """engine.transcribe-shaped adapter over EngineServer — the WER runs
+    for the int8 rungs go through the ACTUAL serving path.
+    quantize_weights=True + int8_self_cache=True is the FULL combined
+    rung (utils/quant_flags.py): int8 decoder weights + int8 self-cache
+    + int8 cross-KV (always on in serving) + fused quantize kernel."""
 
-    def __init__(self, model: str, int8_self_cache: bool):
+    def __init__(self, model: str, int8_self_cache: bool,
+                 quantize_weights: bool = False):
         import jax.numpy as jnp
 
         from openhush_tpu.runtime.engine import WhisperEngine
@@ -107,7 +135,7 @@ class _ServerEngine:
 
         eng = WhisperEngine(model, language="en", allow_random_init=os
                             .environ.get("OPENHUSH_ALLOW_RANDOM_INIT")
-                            == "1")
+                            == "1", quantize_weights=quantize_weights)
         guards = ({} if not getattr(eng, "random_init", False)
                   else dict(temperatures=(0.0,),
                             logprob_threshold=-1e9,
@@ -140,10 +168,112 @@ class _ServerEngine:
         return R(text=res.text if res else "")
 
 
-def _server_wer(model: str, dataset: str, limit, int8: bool):
+def _server_wer(model: str, dataset: str, limit, int8: bool,
+                rung: bool = False):
     from openhush_tpu.utils.wer import evaluate_librispeech
-    eng = _ServerEngine(model, int8_self_cache=int8)
+    eng = _ServerEngine(model, int8_self_cache=int8,
+                        quantize_weights=rung)
     return evaluate_librispeech(eng, dataset, limit=limit)
+
+
+def _accept_rate(model: str, draft_model: str, dataset: str, limit):
+    """Per-position agreement between the draft's greedy argmax and the
+    big model's emitted next token over real decodes — the acceptance
+    probability of speculative decoding with this draft (the measured
+    input to the spec-policy crossover, runtime/server.py spec_policy).
+    Teacher-forces the draft over the big model's greedy output in ONE
+    decode pass per utterance; raw (unfiltered) draft argmax, which is
+    what batcher.spec_step compares against for notimestamps decodes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openhush_tpu.audio.wav import load_wav
+    from openhush_tpu.models.whisper import decoding
+    from openhush_tpu.models.whisper import model as whisper
+    from openhush_tpu.ops import frontend_pallas, mel as mel_ops
+    from openhush_tpu.runtime.engine import WhisperEngine
+    from openhush_tpu.utils.wer import iter_librispeech
+
+    eng = WhisperEngine(model, language="en", draft_model=draft_model,
+                        allow_random_init=os.environ.get(
+                            "OPENHUSH_ALLOW_RANDOM_INIT") == "1")
+    if eng.draft_cfg is None:
+        raise RuntimeError(f"draft {draft_model!r} failed to initialize")
+    opts = decoding.DecodingOptions(language="en", without_timestamps=True)
+    eot = eng.tokenizer.special.eot
+    match = total = 0
+    for n, (path, _ref) in enumerate(iter_librispeech(dataset)):
+        if limit and n >= limit:
+            break
+        audio = load_wav(path)
+        a = np.zeros(mel_ops.N_SAMPLES, np.float32)
+        a[:len(audio)] = audio[:mel_ops.N_SAMPLES]
+        mel = frontend_pallas.log_mel(
+            jnp.asarray(a), n_mels=eng.cfg.n_mels)[None].astype(eng.dtype)
+        feats = eng._encode(eng.params, mel)
+        xkv = eng._cross_kv(eng.params, feats)
+        dxkv = eng._draft_cross_kv(eng.draft_params, feats)
+        res = decoding.decode_greedy(eng.cfg, eng.params, xkv,
+                                     eng.tokenizer, opts)
+        row = [int(t) for t in res.tokens[0]]
+        end = res.prompt_len
+        while end < len(row) and row[end] != eot:
+            end += 1
+        seq = row[:min(end + 1, len(row))]
+        if len(seq) <= res.prompt_len:
+            continue
+        cache_len = ((len(seq) + 63) // 64) * 64
+        dcache = whisper.init_kv_cache(eng.draft_cfg, 1, dtype=eng.dtype,
+                                       max_len=cache_len)
+        lg, _ = whisper.decode(eng.draft_cfg, eng.draft_params,
+                               jnp.asarray([seq], jnp.int32),
+                               jnp.int32(0), dcache, dxkv)
+        pred = np.asarray(jnp.argmax(lg[0], -1))
+        for i in range(res.prompt_len - 1, len(seq) - 1):
+            total += 1
+            match += int(pred[i] == seq[i + 1])
+    rate = match / max(total, 1)
+    return {"accept": round(rate, 4), "positions": total,
+            "draft": draft_model,
+            # Expected emitted tokens/iteration at K=4 (geometric chain).
+            "expected_tokens_per_iter_k4": round(
+                1 + rate + rate ** 2 + rate ** 3, 3)}
+
+
+def _silero_sanity(strict: bool):
+    """Converted-Silero smoke: p(speech-like WAV) vs p(silence). With
+    real weights (strict) speech must clear silence by a margin; the
+    random-weight dryrun only pins the execution path and [0, 1] range."""
+    import numpy as np
+
+    from openhush_tpu.audio.wav import load_wav
+    from openhush_tpu.models.silero import SileroVad
+    from openhush_tpu.runtime.engine import default_model_dir
+
+    path = os.path.join(default_model_dir(), "aux", "silero.npz")
+    vad = SileroVad.load(path)
+    speech = load_wav(os.path.join(REPO, "tests", "data",
+                                   "speechlike.wav"))
+    silence = np.zeros(16000, np.float32)
+
+    def mean_prob(audio):
+        vad.reset()
+        cs = vad.chunk_size
+        probs = [vad.process(audio[i:i + cs]).probability
+                 for i in range(0, max(len(audio) - cs + 1, 1), cs)]
+        return float(np.mean(probs)) if probs else 0.0
+
+    p_speech, p_silence = mean_prob(speech), mean_prob(silence)
+    ok_range = 0.0 <= p_silence <= 1.0 and 0.0 <= p_speech <= 1.0
+    if not ok_range:
+        raise RuntimeError(f"probabilities out of range: "
+                           f"speech={p_speech} silence={p_silence}")
+    if strict and not (p_speech > 0.5 > p_silence):
+        raise RuntimeError(
+            f"threshold sanity failed: p(speech)={p_speech:.3f} "
+            f"p(silence)={p_silence:.3f} (expected >0.5/<0.5)")
+    return {"p_speech": round(p_speech, 4),
+            "p_silence": round(p_silence, 4), "strict": strict}
 
 
 # ---------------------------------------------------------------------------
@@ -217,6 +347,24 @@ def build_synthetic(work: str) -> dict:
         f.write(text)
     paths["rnnoise"] = rnnn
 
+    # RTTM-layout diarization dataset (synthetic meetings in the exact
+    # wav+rttm shape the real AMI run uses).
+    from openhush_tpu.utils import der as der_mod
+    ddir = os.path.join(work, "diarization")
+    os.makedirs(ddir, exist_ok=True)
+    import wave as _wave
+    rngd = np.random.default_rng(21)
+    for m in range(2):
+        audio, turns = der_mod.synth_meeting(rngd, 2, secs=12.0)
+        with _wave.open(os.path.join(ddir, f"meeting{m}.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes((audio * 32767).astype(np.int16).tobytes())
+        der_mod.write_rttm(os.path.join(ddir, f"meeting{m}.rttm"),
+                           f"meeting{m}", turns)
+    paths["diarization"] = ddir
+
     # Tiny LibriSpeech-layout dataset (speaker/chapter/utt + trans.txt).
     ds = os.path.join(work, "LibriSpeech", "1", "1")
     os.makedirs(ds, exist_ok=True)
@@ -250,6 +398,12 @@ def main() -> int:
     ap.add_argument("--report", default=None)
     ap.add_argument("--offline-dryrun", action="store_true")
     ap.add_argument("--skip-parity", action="store_true")
+    ap.add_argument("--draft-model", default=None,
+                    help="draft checkpoint for the accept-rate stage "
+                    "(default: large-v3-turbo when gating large-v3)")
+    ap.add_argument("--diarization-dataset", default=None,
+                    help="RTTM-layout dir: <name>.wav + <name>.rttm "
+                    "(AMI-style) for the DER stage")
     args = ap.parse_args()
 
     report_path = args.report or os.path.join(args.work,
@@ -265,6 +419,9 @@ def main() -> int:
         model = "test"
         args.dataset = paths["dataset"]
         args.limit = args.limit or 2
+        args.draft_model = args.draft_model or "test-draft"
+        args.diarization_dataset = (args.diarization_dataset
+                                    or paths["diarization"])
     else:
         paths = {
             "whisper": os.path.join(args.work, "whisper"),
@@ -294,7 +451,7 @@ def main() -> int:
                                               "parity_gate.py"),
                  model, "--hf-path", paths["whisper"], "--wavs", *wavs],
                 capture_output=True, text=True, timeout=3600,
-                cwd=REPO, env={**os.environ, "PYTHONPATH": REPO})
+                cwd=REPO, env={**os.environ, "PYTHONPATH": _pythonpath()})
             if rc.returncode != 0:
                 raise RuntimeError(rc.stdout[-400:] + rc.stderr[-400:])
             return "token parity ok"
@@ -345,7 +502,7 @@ def main() -> int:
             rc = subprocess.run(
                 [sys.executable, "-c", code], capture_output=True,
                 text=True, timeout=7200, cwd=REPO,
-                env={**os.environ, "PYTHONPATH": REPO,
+                env={**os.environ, "PYTHONPATH": _pythonpath(),
                      "OPENHUSH_GELU": "tanh"})
             for line in rc.stdout.splitlines():
                 if line.startswith("GELU_WER "):
@@ -371,11 +528,43 @@ def main() -> int:
                     "note": "random-init dryrun never flips"
                     if random_init else "drift too large"}
 
+        def wer_int8_rung():
+            r = _server_wer(model, args.dataset, args.limit, int8=True,
+                            rung=True)
+            wer_holder["rung"] = r.wer
+            return {"wer": round(r.wer, 4), "ref_words": r.n_ref_words}
+
+        def decide_rung():
+            if "bf16" not in wer_holder or "rung" not in wer_holder:
+                raise RuntimeError("WER stages incomplete")
+            from openhush_tpu.utils.quant_flags import RUNG_MARKER
+            drift = wer_holder["rung"] - wer_holder["bf16"]
+            random_init = os.environ.get(
+                "OPENHUSH_ALLOW_RANDOM_INIT") == "1"
+            if drift < INT8_WER_DRIFT_MAX and not random_init:
+                marker = os.path.join(default_model_dir(), RUNG_MARKER)
+                with open(marker, "w") as f:
+                    json.dump({"drift": drift,
+                               "bf16": wer_holder["bf16"],
+                               "rung": wer_holder["rung"]}, f)
+                return {"drift": round(drift, 5), "default_flipped": True}
+            return {"drift": round(drift, 5), "default_flipped": False,
+                    "note": "random-init dryrun never flips"
+                    if random_init else "drift too large"}
+
+        draft_model = args.draft_model or (
+            "large-v3-turbo" if model == "large-v3" else None)
+
         gate.stage("wer_bf16", wer_bf16)
         gate.stage("wer_int8_self", wer_int8)
         gate.stage("int8_decision", decide)
         gate.stage("wer_gelu_tanh", wer_gelu_tanh)
         gate.stage("gelu_decision", decide_gelu)
+        gate.stage("wer_int8_rung", wer_int8_rung)
+        gate.stage("int8_rung_decision", decide_rung)
+        if draft_model:
+            gate.stage("spec_accept_rate", lambda: _accept_rate(
+                model, draft_model, args.dataset, args.limit))
 
     m2m_name = "test" if args.offline_dryrun else "418M"
     gate.stage("m2m100_convert", lambda: _cli(
@@ -408,7 +597,7 @@ def main() -> int:
                      os.path.join(REPO, "tools", "validate_aux.py"),
                      validator, src, out],
                     capture_output=True, text=True, timeout=1800,
-                    cwd=REPO, env={**os.environ, "PYTHONPATH": REPO})
+                    cwd=REPO, env={**os.environ, "PYTHONPATH": _pythonpath()})
                 if rc.returncode != 0:
                     raise RuntimeError(
                         f"validate_aux {kind}: "
@@ -417,6 +606,21 @@ def main() -> int:
         return done
 
     gate.stage("aux_convert", aux)
+
+    random_init = os.environ.get("OPENHUSH_ALLOW_RANDOM_INIT") == "1"
+    gate.stage("silero_sanity",
+               lambda: _silero_sanity(strict=not random_init))
+
+    if args.diarization_dataset:
+        def diar():
+            from openhush_tpu.utils.der import evaluate_rttm_dataset
+            r = evaluate_rttm_dataset(args.diarization_dataset,
+                                      limit=args.limit)
+            return {"der": round(r.der, 4), "jer": round(r.jer, 4),
+                    "missed": round(r.missed, 4),
+                    "false_alarm": round(r.false_alarm, 4),
+                    "confusion": round(r.confusion, 4)}
+        gate.stage("diarization_der", diar)
 
     gate.write()
     print(f"[gate] report: {report_path} "
