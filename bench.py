@@ -467,6 +467,31 @@ def main() -> None:
                 out["spec_serving_x_accept0.8_interp"] = round(est08, 2)
                 out["spec_serving_speedup_accept0.8"] = round(
                     est08 / serving_x, 2)
+                persist(out)
+
+            if time.monotonic() > deadline:
+                raise TimeoutError("bench budget exhausted before "
+                                   "latency probe")
+            if os.environ.get("OPENHUSH_BENCH_LATENCY", "1") == "1":
+                # First-partial under sustained concurrent load, net of
+                # the measured dispatch overhead (VERDICT r3 #3: the
+                # <500 ms north-star is judged on the NET p50).
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tools"))
+                import latency_probe
+                # background+2 slots == SERVE_SLOTS: the probe's server
+                # reuses every compiled shape (slot state, admit groups)
+                # from the serving section above — only the inner_steps=4
+                # step program is new — instead of paying a fresh
+                # slot-count compile through the tunnel.
+                lat = latency_probe.loaded(
+                    MODEL,
+                    background=int(os.environ.get(
+                        "OPENHUSH_BENCH_LAT_SESSIONS",
+                        str(max(1, SERVE_SLOTS - 2)))),
+                    n=int(os.environ.get("OPENHUSH_BENCH_LAT_N", "16")))
+                if lat:
+                    out.update(lat)
         except Exception as e:  # noqa: BLE001 — headline must survive
             out["serving_error"] = f"{type(e).__name__}: {e}"[:200]
 

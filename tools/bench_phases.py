@@ -24,7 +24,34 @@ from openhush_tpu.ops import frontend_pallas, mel as mel_ops
 CACHE_LEN = 256
 
 
+def roofline() -> int:
+    """Measured ACHIEVABLE HBM bandwidth on this chip through this
+    harness — the honest denominator for any 'decode is at X% of HBM'
+    claim (spec-sheet numbers ignore the tunnel + XLA realities). Times
+    a reduction over a multi-GB array: one full HBM read, negligible
+    write/compute."""
+    sizes_gb = (1.0, 2.0, 4.0)
+    for gb in sizes_gb:
+        n = int(gb * 1e9 / 2)                 # bf16 elements
+        x = jnp.ones((n,), jnp.bfloat16)
+        f = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
+        np.asarray(f(x))                      # compile + warm
+        np.asarray(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            ts.append(time.perf_counter() - t0)
+        bw = x.nbytes / min(ts) / 1e9
+        print(f"read-reduce {gb:.0f} GB bf16: {min(ts)*1000:.1f} ms "
+              f"= {bw:.0f} GB/s achievable")
+        del x
+    return 0
+
+
 def main() -> int:
+    if "--roofline" in sys.argv:
+        return roofline()
     model = sys.argv[1] if len(sys.argv) > 1 else "large-v3"
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 128

@@ -13,6 +13,7 @@ steps × ~13 ms.
 import json
 import sys
 import time
+from typing import Optional
 
 import numpy as np
 
@@ -174,7 +175,7 @@ def null_dispatch_ms(n: int = 30) -> tuple[float, float]:
 
 
 def loaded(model: str = "large-v3", background: int = 8,
-           n: int = 24) -> None:
+           n: int = 24, server: "object" = None) -> Optional[dict]:
     """First-partial p50/p95 under SUSTAINED concurrent load, net of
     tunnel overhead (VERDICT r3 next #3): `background` sessions stream
     continuously (each resubmits the moment its window completes) while a
@@ -182,7 +183,10 @@ def loaded(model: str = "large-v3", background: int = 8,
     server-measured submit→first-content-token latency. Prints raw
     percentiles, the null-dispatch baseline, and the net numbers — the
     north-star <500 ms first-partial claim is judged on the NET p50
-    (BASELINE.md:27)."""
+    (BASELINE.md:27). Returns the JSON-ready dict (None on timeout);
+    bench.py merges it into the round's metric line. Pass `server` to
+    reuse an existing EngineServer (it must have ≥ background+2 slots,
+    harvest_every=1 for honest first-token timestamps)."""
     import threading
 
     import jax
@@ -197,13 +201,14 @@ def loaded(model: str = "large-v3", background: int = 8,
     print(f"null dispatch round-trip: median {d0_med:.0f} ms, "
           f"p90 {d0_p90:.0f} ms")
 
-    cfg = get_config(model)
-    params = whisper.init_params(cfg, jax.random.PRNGKey(0),
-                                 dtype=jnp.bfloat16)
-    server = EngineServer(cfg, params, n_slots=background + 2,
-                          inner_steps=4, harvest_every=1,
-                          max_decode_len=448,
-                          tokenizer=WhisperTokenizer(cfg.n_langs))
+    if server is None:
+        cfg = get_config(model)
+        params = whisper.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.bfloat16)
+        server = EngineServer(cfg, params, n_slots=background + 2,
+                              inner_steps=4, harvest_every=1,
+                              max_decode_len=min(448, cfg.n_text_ctx),
+                              tokenizer=WhisperTokenizer(cfg.n_langs))
     rng = np.random.default_rng(0)
     audio = (0.1 * rng.standard_normal(16000 * 5)).astype(np.float32)
     server.start()
@@ -218,7 +223,7 @@ def loaded(model: str = "large-v3", background: int = 8,
         if server.poll(sid, timeout=900) is None:
             print("warmup timed out", file=sys.stderr)
             server.stop()
-            return
+            return None
         server.close_session(sid)
 
     stop = threading.Event()
@@ -252,7 +257,7 @@ def loaded(model: str = "large-v3", background: int = 8,
             res = server.poll(probe, timeout=300)
             if res is None:
                 print("probe window timed out", file=sys.stderr)
-                return
+                return None
             lat.append(res.first_token_latency * 1000)
             time.sleep(0.05)
     finally:
@@ -269,12 +274,14 @@ def loaded(model: str = "large-v3", background: int = 8,
           f"p95 {p95:.0f} ms")
     print(f"net of dispatch overhead (raw − null median): "
           f"p50 {p50 - d0_med:.0f} ms, p95 {p95 - d0_med:.0f} ms")
-    print(json.dumps({"first_partial_p50_ms": round(p50 - d0_med),
-                      "first_partial_p95_ms": round(p95 - d0_med),
-                      "first_partial_raw_p50_ms": round(p50),
-                      "first_partial_raw_p95_ms": round(p95),
-                      "null_dispatch_ms": round(d0_med),
-                      "background_sessions": background}))
+    out = {"first_partial_p50_ms": round(p50 - d0_med),
+           "first_partial_p95_ms": round(p95 - d0_med),
+           "first_partial_raw_p50_ms": round(p50),
+           "first_partial_raw_p95_ms": round(p95),
+           "null_dispatch_ms": round(d0_med),
+           "background_sessions": background}
+    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
