@@ -88,7 +88,14 @@ def report_stale_lkg(err: BaseException) -> bool:
         return False
     rec["metric"] = f"{rec.get('metric', 'unknown')}_stale"
     rec["stale_error"] = f"{type(err).__name__}: {err}"[:200]
-    persist(rec)
+    # APPEND: persist() truncates, which would wipe the fatal trace and
+    # any stage results written before the death.
+    try:
+        with open(PARTIAL_PATH, "a") as f:
+            json.dump(rec, f)
+            f.write("\n")
+    except OSError:
+        pass
     print(json.dumps(rec))
     return True
 
@@ -397,19 +404,17 @@ def main() -> None:
     # The headline itself retries across a mid-run flake: the first
     # uncached large-v3 compile takes 5-10 min through the tunnel and can
     # land inside a degraded window. The compile cache makes retries cheap.
-    last_err = None
     for headline_try in range(3):
         try:
             x_realtime = raw_x_realtime(BATCH)
             break
         except Exception as e:  # noqa: BLE001
-            last_err = e
             print(f"[bench] headline attempt {headline_try + 1} failed "
                   f"({type(e).__name__}: {str(e)[:160]})",
                   file=sys.stderr, flush=True)
+            if headline_try == 2:
+                raise       # no point re-probing the backend just to give up
             wait_for_backend()
-    else:
-        raise last_err
     out = {
         "metric": f"{MODEL}_throughput_b{BATCH}_d{DECODE_STEPS}",
         "value": round(x_realtime, 2),
@@ -425,6 +430,7 @@ def main() -> None:
     # production pending the real-weight WER gate; measured every round
     # so the rung's speedup stays on the official books.
     if os.environ.get("OPENHUSH_BENCH_INT8_RUNG", "1") == "1":
+        q_params = None
         try:
             q_params = whisper.quantize_decoder_weights(params)
             rung_x = raw_x_realtime(BATCH,
@@ -433,10 +439,13 @@ def main() -> None:
                                     p=q_params)
             out["int8_rung_x_realtime"] = round(rung_x, 2)
             out["int8_rung_vs_bf16"] = round(rung_x / x_realtime, 3)
-            del q_params
             persist(out)
         except Exception as e:  # noqa: BLE001 — headline must survive
             out["int8_rung_error"] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            # ~1.6 GB of int8 weights must not shadow the serving
+            # sections' HBM margin if the measurement dies mid-run.
+            del q_params
 
     # End-to-end SERVING numbers (VERDICT r2 #2): the same per-window work
     # through the real EngineServer (admission + batched decode + harvest),
@@ -519,19 +528,36 @@ def main() -> None:
                 sys.path.insert(0, os.path.join(
                     os.path.dirname(os.path.abspath(__file__)), "tools"))
                 import latency_probe
-                # background+2 slots == SERVE_SLOTS: the probe's server
-                # reuses every compiled shape (slot state, admit groups)
-                # from the serving section above — only the inner_steps=4
-                # step program is new — instead of paying a fresh
-                # slot-count compile through the tunnel.
-                lat = latency_probe.loaded(
-                    MODEL,
-                    background=int(os.environ.get(
-                        "OPENHUSH_BENCH_LAT_SESSIONS",
-                        str(max(1, SERVE_SLOTS - 2)))),
-                    n=int(os.environ.get("OPENHUSH_BENCH_LAT_N", "16")))
-                if lat:
-                    out.update(lat)
+
+                from openhush_tpu.runtime.server import EngineServer
+                from openhush_tpu.text.tokenizer import WhisperTokenizer
+
+                # The probe server is built on THIS run's params — a
+                # second init_params would put a duplicate ~3.2 GB weight
+                # copy on a chip the serving sections already budget
+                # tightly — and at SERVE_SLOTS so it reuses the compiled
+                # slot-state/admit shapes from the serving section; only
+                # the inner_steps=4 step program is new.
+                background = int(os.environ.get(
+                    "OPENHUSH_BENCH_LAT_SESSIONS",
+                    str(max(1, SERVE_SLOTS - 2))))
+                probe_server = EngineServer(
+                    cfg, params, n_slots=background + 2, inner_steps=4,
+                    harvest_every=1,
+                    max_decode_len=min(448, cfg.n_text_ctx),
+                    tokenizer=WhisperTokenizer(cfg.n_langs))
+                try:
+                    lat = latency_probe.loaded(
+                        MODEL, background=background,
+                        n=int(os.environ.get("OPENHUSH_BENCH_LAT_N",
+                                             "16")),
+                        server=probe_server)
+                    if lat:
+                        out.update(lat)
+                finally:
+                    probe_server.state = None
+                    import gc
+                    gc.collect()
         except Exception as e:  # noqa: BLE001 — headline must survive
             out["serving_error"] = f"{type(e).__name__}: {e}"[:200]
 

@@ -301,6 +301,21 @@ class EngineServer:
         # which includes a host sync): the scheduler turn only installs.
         # Entries: (job, info, batched_xkv, row).
         self._ready: queue.Queue[tuple] = queue.Queue()
+        # Windows popped from _pending but not yet landed on _ready (the
+        # prep dispatch in flight). Mutated only by whichever thread runs
+        # the prep path; read by queue_depth() and the spec-policy
+        # waiting count, which would otherwise undercount mid-prep
+        # windows.
+        self._in_prep = 0
+        # Concurrency evidence for the auto spec policy: set when a
+        # window arrives while a spec decode is in flight (the admission
+        # cap made it wait out the whole decode), cleared on a fully idle
+        # drain. While set, re-picks choose the plain step even for a
+        # lone waiting window — otherwise two ALTERNATING streaming
+        # sessions each see "exactly 1 waiting" at every drain point and
+        # serialize forever on single-stream speculation instead of
+        # batching.
+        self._spec_blocked = False
         self._slots: dict[int, _SlotInfo] = {}
         self._results: dict[int, queue.Queue] = {}
         self._lock = threading.Lock()
@@ -362,8 +377,8 @@ class EngineServer:
                 if t != self.tokenizer.special.eot]
 
     def queue_depth(self) -> int:
-        return (self._pending.qsize() + self._ready.qsize()
-                + len(self._slots))
+        return (self._pending.qsize() + self._in_prep
+                + self._ready.qsize() + len(self._slots))
 
     # -- device loop ------------------------------------------------------------
 
@@ -405,11 +420,14 @@ class EngineServer:
                     jobs.append(self._pending.get_nowait())
                 except queue.Empty:
                     break
+            self._in_prep += len(jobs)
             try:
                 self._prepare_many(jobs)
             except Exception:  # noqa: BLE001
                 log.exception("window preparation failed; dropping %d "
                               "window(s)", len(jobs))
+            finally:
+                self._in_prep -= len(jobs)
 
     def run_once(self) -> bool:
         """One scheduler turn: admit prepared windows → step → harvest.
@@ -432,12 +450,19 @@ class EngineServer:
         if self.draft_cfg is not None and self.spec_policy == "auto":
             # Re-pick the dispatch mode only while the batcher is EMPTY
             # (mid-decode switches corrupt cache-fill conventions — see
-            # __init__): speculate iff exactly one window is waiting.
+            # __init__): speculate iff exactly one window is waiting —
+            # counting windows mid-prep, or a stagger can look like 1.
             with self._lock:
                 occupied = bool(self._slots)
             if not occupied:
-                waiting = self._ready.qsize() + self._pending.qsize()
-                self._spec_mode = waiting == 1
+                waiting = (self._ready.qsize() + self._pending.qsize()
+                           + self._in_prep)
+                if waiting == 0:
+                    # Fully idle drain: traffic went quiet, forget the
+                    # concurrency evidence so a later lone window (PTT
+                    # style) speculates again.
+                    self._spec_blocked = False
+                self._spec_mode = waiting == 1 and not self._spec_blocked
         worked = self._admit_pending()
         with self._lock:
             n_active = len(self._slots)
@@ -536,9 +561,24 @@ class EngineServer:
         across turns instead of bunching). With an idle batcher all free
         slots fill at once."""
         with self._lock:
-            any_active = bool(self._slots)
-        budget = self.max_admissions_per_turn if any_active else \
-            self.n_slots
+            n_active = len(self._slots)
+        budget = self.max_admissions_per_turn if n_active else self.n_slots
+        if self.spec_policy == "auto" and self._spec_mode:
+            # Spec loses at batch (HBM-amortized plain path: accept-1.0
+            # endpoint 190x vs plain 250x), so auto NEVER builds one: a
+            # spec batcher admits only into emptiness. A window that
+            # arrives mid-spec-decode is concurrency evidence — record
+            # it so the NEXT re-pick (occupancy 0 in run_once) chooses
+            # the plain step even if that window is the only one waiting
+            # by then. Without the flag, two alternating streaming
+            # sessions each look like "exactly 1 waiting" at every drain
+            # and lock into serialized single-stream speculation; with
+            # it they converge to the plain batcher after one blocked
+            # wait.
+            if n_active and (self._ready.qsize() + self._pending.qsize()
+                             + self._in_prep) > 0:
+                self._spec_blocked = True
+            budget = min(budget, max(0, 1 - n_active))
         admitted = False
         picked = []            # (slot, info, xkv, row, dxkv)
         for slot in self._free_slots():

@@ -176,6 +176,87 @@ def test_spec_policy_auto(setup):
         assert a.tokens == b.tokens
 
 
+def test_spec_auto_interleaved_sessions_converge_to_plain(setup):
+    """Two sessions whose windows ALTERNATE — each window arriving while
+    the other session's decode is in flight — must not serialize on
+    single-stream speculation (at every drain point exactly one window
+    is waiting, so the naive crossover rule would re-pick spec forever
+    and double every window's latency). The auto policy instead: never
+    admits a second window into a spec batch (measured loser even at
+    accept=1.0), records the blocked arrival as concurrency evidence,
+    re-picks PLAIN at the next drain, and from then on batches the
+    sessions concurrently. A fully idle drain forgets the evidence so a
+    later lone window (push-to-talk traffic) speculates again. Outputs
+    stay token-exact vs an always-plain server throughout."""
+    cfg, params, dcfg, dparams, tok = setup
+    srv = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                       dtype=jnp.float32, tokenizer=tok,
+                       draft=(dcfg, dparams), **NO_GUARDS)
+    audios = _audios(4, seed=55)
+    s1, s2 = srv.open_session(), srv.open_session()
+
+    srv.submit_window(s1, audios[0], window_id=0)
+    srv.run_once()                        # lone window → spec decode
+    assert srv._spec_mode and srv.spec_iters > 0
+    with srv._lock:
+        assert len(srv._slots) == 1      # w0 still in flight
+
+    # Session 2's window arrives MID-DECODE: the cap makes it wait (spec
+    # occupancy never exceeds 1) and flags the concurrency.
+    srv.submit_window(s2, audios[1], window_id=1)
+    results = {}
+    both_in_plain = False
+    w2_submitted = False
+    for _ in range(600):
+        srv.run_once()
+        with srv._lock:
+            occ = len(srv._slots)
+        if srv._spec_mode:
+            assert occ <= 1              # no spec batch, ever
+        elif occ == 2:
+            both_in_plain = True         # concurrent plain decode
+        if (r := srv.poll(s1)) is not None:
+            results[2 if 0 in results else 0] = r
+        if 0 in results and srv._spec_blocked and not w2_submitted:
+            # w0 done, w1 headed through the plain path: session 1's
+            # next window arrives on its heels — plain admission batches
+            # the two sessions concurrently.
+            srv.submit_window(s1, audios[2], window_id=2)
+            w2_submitted = True
+        if 1 not in results and (rb := srv.poll(s2)) is not None:
+            results[1] = rb
+        if len(results) == 3:
+            break
+    assert len(results) == 3, "interleaved windows did not finish"
+    assert srv._spec_blocked             # evidence recorded
+    assert not srv._spec_mode            # converged to plain
+    assert both_in_plain                 # w1+w2 actually batched
+
+    # Idle drain forgets the evidence: a lone window speculates again.
+    srv.run_once()
+    iters_before = srv.spec_iters
+    srv.submit_window(s2, audios[3], window_id=3)
+    for _ in range(600):
+        srv.run_once()
+        if (r3 := srv.poll(s2)) is not None:
+            results[3] = r3
+            break
+    assert srv.spec_iters > iters_before
+
+    plain = EngineServer(cfg, params, n_slots=2, inner_steps=8,
+                         dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
+    ps = plain.open_session()
+    for i, audio in enumerate(audios):
+        plain.submit_window(ps, audio, window_id=i)
+        for _ in range(600):
+            plain.run_once()
+            if (rp := plain.poll(ps)) is not None:
+                assert results[i].tokens == rp.tokens
+                break
+        else:
+            raise AssertionError("plain reference did not finish")
+
+
 def test_spec_force_accept_unreachable_via_env(setup, monkeypatch):
     """The bench-only accept=1.0 mode is constructor-only (VERDICT r3
     weak #3): the retired env var must change nothing."""
