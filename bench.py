@@ -226,13 +226,16 @@ def make_bench_step(cfg, int8_cache: bool = None):
 
 
 def serving_bench(cfg, params, *, draft=None, k_spec=4,
-                  force_accept=False, n_windows=None):
+                  force_accept=False, n_windows=None, int8_rung=False):
     """End-to-end SERVING throughput: B×30 s windows through the real
     EngineServer (prep thread path run synchronously: preprocess → fused
     mel → encode → int8 cross-KV → admission → batched decode → harvest).
     EOT is suppressed so every window decodes exactly DECODE_STEPS
     content tokens — the same per-window work as the raw loop, making
     serving_x / raw_x the true serving-overhead ratio.
+
+    int8_rung=True expects pre-quantized decoder weights and turns on
+    the int8 self-cache — the served form of the combined rung.
 
     Returns (x_realtime, tokens_per_sec, accept_rate)."""
     from openhush_tpu.runtime.server import EngineServer
@@ -242,7 +245,7 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
         cfg, params, n_slots=SERVE_SLOTS, inner_steps=8,
         max_decode_len=prompt_len + DECODE_STEPS + 1,
         temperatures=(0.0,), logprob_threshold=-1e9,
-        no_speech_threshold=2.0,
+        no_speech_threshold=2.0, int8_self_cache=int8_rung or None,
         draft=draft, k_spec=k_spec,
         # The bench measures the spec endpoints AT BATCH, so the policy
         # is pinned (auto would fall back to the plain step for >1 slot);
@@ -474,6 +477,27 @@ def main() -> None:
             if time.monotonic() > deadline:
                 raise TimeoutError("bench budget exhausted after plain "
                                    "serving (degraded dispatch latency)")
+            if os.environ.get("OPENHUSH_BENCH_INT8_RUNG", "1") == "1":
+                # The SERVED form of the combined int8 rung: quantized
+                # decoder weights + int8 self-cache through the real
+                # EngineServer — the number a rung-enabled install gets.
+                q_params = whisper.quantize_decoder_weights(params)
+                try:
+                    rung_sx, _, _ = serving_bench(cfg, q_params,
+                                                  int8_rung=True)
+                    out["int8_rung_serving_x_realtime"] = round(rung_sx, 2)
+                    out["int8_rung_serving_vs_plain_serving"] = round(
+                        rung_sx / serving_x, 3)
+                    persist(out)
+                except Exception as e:  # noqa: BLE001 — later stages run
+                    out["int8_rung_serving_error"] = (
+                        f"{type(e).__name__}: {e}"[:200])
+                finally:
+                    del q_params
+
+            if time.monotonic() > deadline:
+                raise TimeoutError("bench budget exhausted after plain "
+                                   "serving (degraded dispatch latency)")
             if os.environ.get("OPENHUSH_BENCH_BEAM", "1") == "1":
                 beam_x, beam_groups = beam_serving_bench(cfg, params)
                 out["beam_x_realtime"] = round(beam_x, 2)
@@ -541,9 +565,15 @@ def main() -> None:
                 background = int(os.environ.get(
                     "OPENHUSH_BENCH_LAT_SESSIONS",
                     str(max(1, SERVE_SLOTS - 2))))
+                # audio_ctx sized to the probe's 5 s windows exactly the
+                # way the daemon sizes it for streaming chunks
+                # (daemon_cli: ~50 pos/s × 2, 64-aligned) — first-partial
+                # is a STREAMING-mode number; encoding 5 s of audio at
+                # the full 30 s context would triple the prep cost the
+                # probe exists to measure.
                 probe_server = EngineServer(
                     cfg, params, n_slots=background + 2, inner_steps=4,
-                    harvest_every=1,
+                    harvest_every=1, audio_ctx=512,
                     max_decode_len=min(448, cfg.n_text_ctx),
                     tokenizer=WhisperTokenizer(cfg.n_langs))
                 try:

@@ -934,9 +934,18 @@ def _build_daemon(foreground: bool = True) -> Daemon:
         guards = ({} if not getattr(e, "random_init", False)
                   else dict(temperatures=(0.0,), logprob_threshold=-1e9,
                             no_speech_threshold=2.0))
-        return EngineServer(e.cfg, e.params, tokenizer=e.tokenizer,
-                            audio_ctx=audio_ctx, max_decode_len=256,
-                            preprocess=preprocess, **guards)
+        server = EngineServer(e.cfg, e.params, tokenizer=e.tokenizer,
+                              audio_ctx=audio_ctx, max_decode_len=256,
+                              preprocess=preprocess, **guards)
+        if config.transcription.warmup_on_load:
+            # Compile every admission bucket before live traffic: a cold
+            # bucket compile otherwise lands in some user's first-partial
+            # latency (measured 24 s through the dev tunnel).
+            t0 = time.monotonic()
+            server.warmup()
+            log.info("Admission shapes warmed in %.1f s",
+                     time.monotonic() - t0)
+        return server
 
     server = make_server()
     try:

@@ -41,6 +41,12 @@ class TranscriptionConfig:
     # inactivity; 0 = keep resident (parity: transcription.
     # idle_unload_secs, src/config.rs:667,1156; daemon.rs:2181-2234).
     idle_unload_secs: int = 0
+    # Compile every admission shape at model load (one synchronous round
+    # of silent windows per prep bucket) so no live window ever pays a
+    # cold-bucket compile in first-partial latency. Beyond-parity knob:
+    # XLA compiles per batch shape, a concern the reference's CUDA
+    # engines don't have.
+    warmup_on_load: bool = True
 
     PRESETS = {"instant": "small", "balanced": "medium",
                "quality": "large-v3"}

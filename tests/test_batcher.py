@@ -182,6 +182,36 @@ def test_engine_server_end_to_end(setup):
     server.close_session(sid2)
 
 
+def test_engine_server_warmup(setup):
+    """warmup() drives one synchronous round per prep bucket (compiling
+    every admit shape — cold size-1 admits were the round-4 latency
+    probe's 24 s p95 outlier), leaves no residue, and refuses to run on
+    a started server."""
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=4, inner_steps=4,
+                          dtype=jnp.float32, tokenizer=tok, **NO_GUARDS)
+    server.warmup()
+    assert not server._slots
+    assert server.queue_depth() == 0
+    # Still serves normally afterwards.
+    sid = server.open_session()
+    server.submit_window(sid, np.zeros(16000, np.float32), window_id=0)
+    res = None
+    for _ in range(200):
+        server.run_once()
+        res = server.poll(sid)
+        if res is not None:
+            break
+    assert res is not None
+    server.close_session(sid)
+    server.start()
+    try:
+        with pytest.raises(RuntimeError):
+            server.warmup()
+    finally:
+        server.stop()
+
+
 def test_engine_server_threaded(setup):
     cfg, params, tok = setup
     server = EngineServer(cfg, params, n_slots=2, inner_steps=8,

@@ -92,6 +92,19 @@ def test_refuses_oversized_beam_groups(setup, monkeypatch):
                          dtype=jnp.float32, **NO_GUARDS)
 
 
+def test_device_kind_capacity_fallback():
+    """The axon tunnel's TPU exposes no memory_stats (observed round 4:
+    bytes_limit absent → budgeter silently off on the real chip); the
+    published-capacity table by device_kind must catch it."""
+    from openhush_tpu.runtime.server import _hbm_by_device_kind
+    assert _hbm_by_device_kind("TPU v5 lite") == 16 << 30
+    assert _hbm_by_device_kind("TPU v5e") == 16 << 30
+    assert _hbm_by_device_kind("TPU v5p") == 95 << 30
+    assert _hbm_by_device_kind("TPU v4") == 32 << 30
+    assert _hbm_by_device_kind("") is None
+    assert _hbm_by_device_kind("Quantum Q9") is None
+
+
 def test_budgeter_disabled_when_capacity_unknown(setup, monkeypatch):
     """CPU test backend: no HBM limit → no refusal (budgeting is a real-
     chip concern)."""

@@ -14,6 +14,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 import jax
+
+# OPENHUSH_BENCH_CPU=1: smoke-test off-chip (the axon sitecustomize
+# force-registers TPU regardless of JAX_PLATFORMS; only jax.config
+# overrides it — same trick as bench.py / tests/).
+if os.environ.get("OPENHUSH_BENCH_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,25 +33,52 @@ CACHE_LEN = 256
 def roofline() -> int:
     """Measured ACHIEVABLE HBM bandwidth on this chip through this
     harness — the honest denominator for any 'decode is at X% of HBM'
-    claim (spec-sheet numbers ignore the tunnel + XLA realities). Times
-    a reduction over a multi-GB array: one full HBM read, negligible
-    write/compute."""
-    sizes_gb = (1.0, 2.0, 4.0)
-    for gb in sizes_gb:
-        n = int(gb * 1e9 / 2)                 # bf16 elements
-        x = jnp.ones((n,), jnp.bfloat16)
-        f = jax.jit(lambda a: jnp.sum(a.astype(jnp.float32)))
-        np.asarray(f(x))                      # compile + warm
-        np.asarray(f(x))
+    claim (spec-sheet numbers ignore the tunnel + XLA realities).
+
+    A single read-reduce is useless through the dev tunnel: 4 GB at
+    ~800 GB/s is 5 ms of HBM time under ~24 ms of per-dispatch relay
+    (first attempt measured "150 GB/s" — i.e. the tunnel, not the
+    chip). So the read repeats R times INSIDE one dispatch via a
+    fori_loop whose body depends on the carry (a carry-max —
+    XLA can neither hoist nor simplify away, so every iteration
+    re-reads x and fuses into the reduce: one full HBM pass, no materialized
+    intermediate), and the bandwidth is computed from the DIFFERENCE
+    between two repeat counts, which cancels dispatch overhead and any
+    fixed per-dispatch cost exactly."""
+    from functools import partial
+
+    gb = float(os.environ.get("OPENHUSH_ROOFLINE_GB", "4"))
+    n = int(gb * 1e9 / 2)                     # bf16 elements
+    x = jnp.ones((n,), jnp.bfloat16)
+
+    @partial(jax.jit, static_argnums=1)
+    def reread(a, reps):
+        # max(a, tiny·acc) — carry-dependent and NOT algebraically
+        # hoistable out of the reduce (sum(a+c) would be: = sum(a)+n·c),
+        # numerically exact since tiny·acc ≪ 1 ≤ a.
+        def body(_, acc):
+            return acc + jnp.sum(
+                jnp.maximum(a.astype(jnp.float32), acc * 1e-30))
+        return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+    def timed(reps: int) -> float:
+        np.asarray(reread(x, reps))           # compile + warm
+        np.asarray(reread(x, reps))
         ts = []
-        for _ in range(5):
+        for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(f(x))
+            np.asarray(reread(x, reps))
             ts.append(time.perf_counter() - t0)
-        bw = x.nbytes / min(ts) / 1e9
-        print(f"read-reduce {gb:.0f} GB bf16: {min(ts)*1000:.1f} ms "
-              f"= {bw:.0f} GB/s achievable")
-        del x
+        return min(ts)
+
+    r_lo, r_hi = 8, 32
+    t_lo, t_hi = timed(r_lo), timed(r_hi)
+    for reps, t in ((r_lo, t_lo), (r_hi, t_hi)):
+        print(f"read-reduce {gb:.0f} GB × {reps} reps: {t*1000:.0f} ms "
+              f"(incl. dispatch) = {reps * x.nbytes / t / 1e9:.0f} GB/s")
+    bw = (r_hi - r_lo) * x.nbytes / max(t_hi - t_lo, 1e-9) / 1e9
+    print(f"achievable HBM read bandwidth (dispatch-cancelled, "
+          f"Δ{r_hi - r_lo} reps × {gb:.0f} GB): {bw:.0f} GB/s")
     return 0
 
 

@@ -205,26 +205,26 @@ def loaded(model: str = "large-v3", background: int = 8,
         cfg = get_config(model)
         params = whisper.init_params(cfg, jax.random.PRNGKey(0),
                                      dtype=jnp.bfloat16)
+        # audio_ctx=512 — the daemon's streaming sizing for the probe's
+        # 5 s windows (first-partial is a streaming-mode number).
         server = EngineServer(cfg, params, n_slots=background + 2,
                               inner_steps=4, harvest_every=1,
+                              audio_ctx=512,
                               max_decode_len=min(448, cfg.n_text_ctx),
                               tokenizer=WhisperTokenizer(cfg.n_langs))
     rng = np.random.default_rng(0)
     audio = (0.1 * rng.standard_normal(16000 * 5)).astype(np.float32)
-    server.start()
 
-    # Warm every compiled shape (prep buckets, admit, step, harvest):
-    # a full burst of background+1 windows at once.
-    warm = [server.open_session() for _ in range(background + 1)]
-    for j, sid in enumerate(warm):
-        server.submit_window(sid, audio, window_id=1000 + j,
-                             language="en", timestamps=False)
-    for sid in warm:
-        if server.poll(sid, timeout=900) is None:
-            print("warmup timed out", file=sys.stderr)
-            server.stop()
-            return None
-        server.close_session(sid)
+    # Compile EVERY admission shape before the clock can see one: one
+    # synchronous round per prep bucket (a burst warmup compiles only
+    # the largest bucket; the cold size-1 resubmit compile was the
+    # round-4 p95 outlier — 24,011 ms vs p50 507 ms).
+    t0 = time.monotonic()
+    if not server._running:
+        server.warmup()
+        print(f"bucket warmup (all admit shapes): "
+              f"{time.monotonic() - t0:.0f} s")
+        server.start()
 
     stop = threading.Event()
 
@@ -267,6 +267,8 @@ def loaded(model: str = "large-v3", background: int = 8,
         server.stop()
 
     lat.sort()
+    print("samples (ms, sorted): "
+          + " ".join(f"{v:.0f}" for v in lat))
     p50, p95 = lat[len(lat) // 2], lat[int(len(lat) * 0.95)]
     print(f"loaded first-partial over {n} probes "
           f"({background} streaming sessions, mean queue depth "
