@@ -68,7 +68,20 @@ LKG_PATH = os.environ.get(
 def save_lkg(out: dict) -> None:
     if CPU_MODE:
         return                      # smoke numbers must never shadow chip runs
-    rec = dict(out)
+    # MERGE over the existing record: save_lkg runs right after the
+    # headline (before the serving sections), and a truncating write there
+    # would degrade a rich committed LKG to 4 fields if the run later dies
+    # mid-serving (observed: a session ended mid-latency-probe and left
+    # exactly that on disk). Keys measured this run overwrite; still-valid
+    # fields from the last complete run survive.
+    rec = {}
+    try:
+        with open(LKG_PATH) as f:
+            rec = json.load(f)
+        rec.pop("stale_error", None)
+    except (OSError, ValueError):
+        pass
+    rec.update(out)
     rec["stale_from"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     try:
         with open(LKG_PATH, "w") as f:
