@@ -68,6 +68,14 @@ LKG_PATH = os.environ.get(
 def save_lkg(out: dict) -> None:
     if CPU_MODE:
         return                      # smoke numbers must never shadow chip runs
+    # Guard on the ACTUAL platform, not just the env var: if the TPU
+    # plugin failed init and JAX silently fell back to CPU, those numbers
+    # must never overwrite the committed on-chip record.
+    try:
+        if jax.devices()[0].platform in ("cpu",):
+            return
+    except Exception:  # noqa: BLE001 — backend gone: keep the old record
+        return
     # MERGE over the existing record: save_lkg runs right after the
     # headline (before the serving sections), and a truncating write there
     # would degrade a rich committed LKG to 4 fields if the run later dies
@@ -78,7 +86,13 @@ def save_lkg(out: dict) -> None:
     try:
         with open(LKG_PATH) as f:
             rec = json.load(f)
-        rec.pop("stale_error", None)
+        # Drop every error field not re-reported by THIS run: a phantom
+        # serving_error from round N must not ride the LKG forever after
+        # round N+1 completes that stage cleanly.
+        for k in [k for k in rec if k == "stale_error"
+                  or k.endswith("_error")]:
+            if k not in out:
+                del rec[k]
     except (OSError, ValueError):
         pass
     rec.update(out)
@@ -156,7 +170,12 @@ def wait_for_backend() -> None:
     budget = float(os.environ.get("OPENHUSH_BENCH_INIT_BUDGET_S", "2400"))
     deadline = time.monotonic() + budget
     delay, attempt = 60.0, 0
+    # The probe must round-trip on the REAL backend: a CPU fallback (TPU
+    # plugin failed init) computes fine, and without the platform assert
+    # the whole bench would silently measure the host CPU.
     probe = ("import numpy, jax, jax.numpy as jnp; "
+             "assert jax.devices()[0].platform not in ('cpu',), "
+             "'cpu fallback: ' + jax.devices()[0].platform; "
              "numpy.asarray(jnp.zeros((), jnp.float32) + 1.0); "
              "print('ok')")
     while True:
@@ -494,8 +513,12 @@ def main() -> None:
                 # The SERVED form of the combined int8 rung: quantized
                 # decoder weights + int8 self-cache through the real
                 # EngineServer — the number a rung-enabled install gets.
-                q_params = whisper.quantize_decoder_weights(params)
+                q_params = None
                 try:
+                    # Inside the try: building the second weight copy can
+                    # itself OOM a tight HBM margin, and that must cost
+                    # this stage only — beam/spec/latency still run.
+                    q_params = whisper.quantize_decoder_weights(params)
                     rung_sx, _, _ = serving_bench(cfg, q_params,
                                                   int8_rung=True)
                     out["int8_rung_serving_x_realtime"] = round(rung_sx, 2)
@@ -509,7 +532,7 @@ def main() -> None:
                     del q_params
 
             if time.monotonic() > deadline:
-                raise TimeoutError("bench budget exhausted after plain "
+                raise TimeoutError("bench budget exhausted after int8-rung "
                                    "serving (degraded dispatch latency)")
             if os.environ.get("OPENHUSH_BENCH_BEAM", "1") == "1":
                 beam_x, beam_groups = beam_serving_bench(cfg, params)
@@ -520,7 +543,7 @@ def main() -> None:
                 persist(out)
 
             if time.monotonic() > deadline:
-                raise TimeoutError("bench budget exhausted after plain "
+                raise TimeoutError("bench budget exhausted after beam "
                                    "serving (degraded dispatch latency)")
             if os.environ.get("OPENHUSH_BENCH_SPEC", "1") == "1":
                 # Turbo-shaped draft (4-layer decoder sharing the
@@ -584,10 +607,18 @@ def main() -> None:
                 # is a STREAMING-mode number; encoding 5 s of audio at
                 # the full 30 s context would triple the prep cost the
                 # probe exists to measure.
+                # Quality guards pinned off like every other bench
+                # section: random-init params give avg_logprob ≈
+                # -log(V) ≈ -10.9, so the default logprob_threshold=-1.0
+                # would push EVERY window through the full temperature
+                # fallback ladder (~6 decodes each) — the round-4 probe
+                # that measured p50 507 ms was retry-dominated.
                 probe_server = EngineServer(
                     cfg, params, n_slots=background + 2, inner_steps=4,
                     harvest_every=1, audio_ctx=512,
                     max_decode_len=min(448, cfg.n_text_ctx),
+                    temperatures=(0.0,), logprob_threshold=-1e9,
+                    no_speech_threshold=2.0,
                     tokenizer=WhisperTokenizer(cfg.n_langs))
                 try:
                     lat = latency_probe.loaded(

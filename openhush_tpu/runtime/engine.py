@@ -122,9 +122,14 @@ class WhisperEngine:
                 f"--hf-path /path/to/hf_checkpoint")
         if quantize_weights is None:
             from openhush_tpu.utils.quant_flags import int8_rung_enabled
-            quantize_weights = (os.environ.get(
-                "OPENHUSH_INT8_WEIGHTS", "0") == "1"
-                or int8_rung_enabled())
+            env_w = os.environ.get("OPENHUSH_INT8_WEIGHTS")
+            if env_w is not None:
+                # Explicit setting stays a hard switch both ways: =0 must
+                # force bf16 even when the gate's int8_rung.ok marker
+                # exists (it's the documented debugging kill-switch).
+                quantize_weights = env_w == "1"
+            else:
+                quantize_weights = int8_rung_enabled()
         if quantize_weights:
             # int8 per-output-channel decoder weights: halves the largest
             # per-token HBM read; prob diff ~1e-4 vs bf16.

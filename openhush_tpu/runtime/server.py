@@ -324,12 +324,17 @@ class EngineServer:
         # which includes a host sync): the scheduler turn only installs.
         # Entries: (job, info, batched_xkv, row).
         self._ready: queue.Queue[tuple] = queue.Queue()
-        # Windows popped from _pending but not yet landed on _ready (the
-        # prep dispatch in flight). Mutated only by whichever thread runs
-        # the prep path; read by queue_depth() and the spec-policy
-        # waiting count, which would otherwise undercount mid-prep
-        # windows.
-        self._in_prep = 0
+        # Windows submitted but not yet landed on _ready (in _pending OR
+        # mid-prep). Incremented in submit_window BEFORE the _pending.put
+        # and decremented only after _prepare_many finishes, so the
+        # spec-policy waiting count can never catch a window in the gap
+        # between a _pending pop and a separate in-prep increment (that
+        # gap read waiting==0 and spuriously cleared _spec_blocked). The
+        # transient where a window counts here AND in _ready.qsize()
+        # (after its _ready.put, before the decrement) only ever
+        # OVERcounts, which at worst delays spec adoption one turn.
+        self._unlanded = 0
+        self._count_lock = threading.Lock()
         # Concurrency evidence for the auto spec policy: set when a
         # window arrives while a spec decode is in flight (the admission
         # cap made it wait out the whole decode), cleared on a fully idle
@@ -365,6 +370,8 @@ class EngineServer:
                       task: str = "transcribe",
                       timestamps: bool = True) -> None:
         """Queue one ≤30 s audio window for transcription."""
+        with self._count_lock:
+            self._unlanded += 1
         self._pending.put(_Pending(session_id, window_id,
                                    np.asarray(audio, np.float32), language,
                                    task, timestamps, time.monotonic()))
@@ -400,8 +407,7 @@ class EngineServer:
                 if t != self.tokenizer.special.eot]
 
     def queue_depth(self) -> int:
-        return (self._pending.qsize() + self._in_prep
-                + self._ready.qsize() + len(self._slots))
+        return self._unlanded + self._ready.qsize() + len(self._slots)
 
     def warmup(self) -> None:
         """Compile every admission shape up front: one synchronous round
@@ -474,14 +480,11 @@ class EngineServer:
                     jobs.append(self._pending.get_nowait())
                 except queue.Empty:
                     break
-            self._in_prep += len(jobs)
             try:
                 self._prepare_many(jobs)
             except Exception:  # noqa: BLE001
                 log.exception("window preparation failed; dropping %d "
                               "window(s)", len(jobs))
-            finally:
-                self._in_prep -= len(jobs)
 
     def run_once(self) -> bool:
         """One scheduler turn: admit prepared windows → step → harvest.
@@ -509,8 +512,7 @@ class EngineServer:
             with self._lock:
                 occupied = bool(self._slots)
             if not occupied:
-                waiting = (self._ready.qsize() + self._pending.qsize()
-                           + self._in_prep)
+                waiting = self._ready.qsize() + self._unlanded
                 if waiting == 0:
                     # Fully idle drain: traffic went quiet, forget the
                     # concurrency evidence so a later lone window (PTT
@@ -629,8 +631,7 @@ class EngineServer:
             # and lock into serialized single-stream speculation; with
             # it they converge to the plain batcher after one blocked
             # wait.
-            if n_active and (self._ready.qsize() + self._pending.qsize()
-                             + self._in_prep) > 0:
+            if n_active and (self._ready.qsize() + self._unlanded) > 0:
                 self._spec_blocked = True
             budget = min(budget, max(0, 1 - n_active))
         admitted = False
@@ -682,6 +683,18 @@ class EngineServer:
         cross-KV, language logits. Prepared entries land on self._ready
         as (job, info, batched_xkv, row) — the batched xkv is sliced
         per-row inside the admit kernel."""
+        try:
+            self._prepare_many_inner(jobs)
+        finally:
+            # Landed on _ready (or dropped on exception): either way the
+            # batch leaves the _unlanded count. Decrementing AFTER the
+            # puts means readers may transiently OVERcount a window in
+            # both _unlanded and _ready.qsize(), never undercount — see
+            # the invariant at __init__.
+            with self._count_lock:
+                self._unlanded -= len(jobs)
+
+    def _prepare_many_inner(self, jobs: list[_Pending]) -> None:
         tok = self.tokenizer
         n_frames = self.audio_ctx * 2
         n_samples = n_frames * mel_ops.HOP_LENGTH

@@ -93,7 +93,18 @@ def coerce_raw(sections: dict, raw: dict) -> tuple[dict, list[str]]:
         old = body[key]
         try:
             if isinstance(old, bool):
-                body[key] = bool(val)
+                # Form values arrive as strings: bool('false') is True,
+                # so parse the usual spellings instead of truthiness.
+                if isinstance(val, str):
+                    low = val.strip().lower()
+                    if low in ("1", "true", "on", "yes"):
+                        body[key] = True
+                    elif low in ("0", "false", "off", "no", ""):
+                        body[key] = False
+                    else:
+                        errors.append(f"{fid}: cannot parse {val!r}")
+                else:
+                    body[key] = bool(val)
             elif isinstance(old, (int, float)):
                 num = float(val)
                 body[key] = (int(num) if isinstance(old, int)

@@ -227,12 +227,16 @@ def evaluate_rttm_dataset(root: str, engine=None,
     sr = 16000
     results = []
     wavs = sorted(f for f in os.listdir(root) if f.endswith(".wav"))
-    for n, wav in enumerate(wavs):
-        if limit and n >= limit:
+    n_evaluated = 0
+    for wav in wavs:
+        # The limit counts evaluated PAIRS: stray wavs without a matching
+        # .rttm (e.g. references not fetched yet) must not consume it.
+        if limit and n_evaluated >= limit:
             break
         rttm = os.path.join(root, wav[:-4] + ".rttm")
         if not os.path.exists(rttm):
             continue
+        n_evaluated += 1
         ref = load_rttm(rttm)
         audio = load_wav(os.path.join(root, wav))
         engine.reset()   # fresh speaker bank per recording

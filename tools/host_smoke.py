@@ -159,9 +159,13 @@ def s_tray():
     from openhush_tpu.ui.tray_windows import create_tray
     if not ACTIVE:
         return "skip", "pass --active to show the real tray icon"
-    tray = create_tray()
-    if tray is None:
-        return "skip", "no tray backend for this environment"
+    from openhush_tpu.ui.tray import TrayError
+    try:
+        tray = create_tray()
+    except TrayError as e:
+        # Environment limitation (e.g. headless Linux without an SNI
+        # StatusNotifier bus), not a code failure.
+        return "skip", f"no tray backend for this environment: {e}"
     try:
         tray.set_status(TrayStatus.RECORDING)
         time.sleep(1.0)

@@ -207,9 +207,17 @@ def loaded(model: str = "large-v3", background: int = 8,
                                      dtype=jnp.bfloat16)
         # audio_ctx=512 — the daemon's streaming sizing for the probe's
         # 5 s windows (first-partial is a streaming-mode number).
+        # Quality guards pinned off (temperatures/logprob/no_speech):
+        # random-init params score avg_logprob ≈ -log(V) ≈ -10.9, so the
+        # default logprob_threshold=-1.0 would send EVERY window through
+        # the full temperature-fallback ladder (~6 decodes per window),
+        # inflating first-partial latency ~6x under load.
         server = EngineServer(cfg, params, n_slots=background + 2,
                               inner_steps=4, harvest_every=1,
                               audio_ctx=512,
+                              temperatures=(0.0,),
+                              logprob_threshold=-1e9,
+                              no_speech_threshold=2.0,
                               max_decode_len=min(448, cfg.n_text_ctx),
                               tokenizer=WhisperTokenizer(cfg.n_langs))
     rng = np.random.default_rng(0)
