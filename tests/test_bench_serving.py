@@ -51,3 +51,42 @@ def test_serving_bench_plain_and_spec(monkeypatch):
     # force-accept is constructor-only (VERDICT r3 weak #3): the bench
     # must not leak a process-wide env knob that breaks token-exactness.
     assert os.environ.get("OPENHUSH_SPEC_FORCE_ACCEPT") is None
+
+
+def test_save_lkg_merges_and_drops_stale_errors(tmp_path, monkeypatch):
+    """save_lkg must merge over the existing record (a truncating write
+    after the headline degraded the committed LKG when a run died
+    mid-serving) and drop *_error keys the new run didn't re-report."""
+    import json
+
+    lkg = tmp_path / "lkg.json"
+    monkeypatch.setenv("OPENHUSH_BENCH_LKG", str(lkg))
+    monkeypatch.setenv("OPENHUSH_BENCH_CPU", "1")
+    import importlib
+
+    import bench
+    importlib.reload(bench)
+    lkg.write_text(json.dumps({
+        "metric": "m", "value": 1.0, "serving_x_realtime": 250.0,
+        "serving_error": "TimeoutError: old", "stale_error": "x"}))
+    monkeypatch.setattr(bench, "CPU_MODE", False)
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(bench.jax, "devices", lambda: [_Dev()])
+    bench.save_lkg({"metric": "m", "value": 2.0, "unit": "x",
+                    "vs_baseline": 0.2})
+    rec = json.loads(lkg.read_text())
+    assert rec["value"] == 2.0
+    assert rec["serving_x_realtime"] == 250.0      # survives the merge
+    assert "serving_error" not in rec and "stale_error" not in rec
+    assert "stale_from" in rec
+
+    # CPU fallback (plugin failed init) must never overwrite the record.
+    class _Cpu:
+        platform = "cpu"
+
+    monkeypatch.setattr(bench.jax, "devices", lambda: [_Cpu()])
+    bench.save_lkg({"metric": "m", "value": 9.9})
+    assert json.loads(lkg.read_text())["value"] == 2.0

@@ -111,3 +111,60 @@ def test_from_local_uses_packaged_checkpoints(tmp_path, monkeypatch):
     from openhush_tpu.models.diarization import DiarizationEngine
     eng = DiarizationEngine.from_local()
     assert eng.seg_params is not None     # packaged segmentation net
+
+
+def test_rttm_roundtrip(tmp_path):
+    from openhush_tpu.utils.der import Turn, load_rttm, write_rttm
+    turns = [Turn(0.5, 2.25, 0), Turn(2.0, 4.0, 1)]
+    p = str(tmp_path / "m.rttm")
+    write_rttm(p, "m", turns)
+    back = load_rttm(p)
+    assert [(t.start, t.end) for t in back] == [(0.5, 2.25), (2.0, 4.0)]
+    assert [t.speaker for t in back] == ["spk0", "spk1"]
+
+
+class _FakeSeg:
+    def __init__(self, s, e, k):
+        self.start_secs, self.end_secs, self.speaker_id = s, e, k
+
+
+class _FakeDiarizer:
+    """Emits one full-chunk turn for speaker 0 — perfect against a
+    single-speaker reference."""
+
+    def __init__(self):
+        self.reset_calls = 0
+
+    def reset(self):
+        self.reset_calls += 1
+
+    def diarize_chunk(self, audio, offset_secs=0.0):
+        dur = len(audio) / 16000.0
+        return [_FakeSeg(offset_secs, offset_secs + dur, 0)]
+
+
+def test_evaluate_rttm_dataset_limit_counts_pairs(tmp_path):
+    """Stray wavs without a matching .rttm must not consume the limit
+    (AMI audio whose references weren't fetched sorts first)."""
+    from openhush_tpu.audio.wav import save_wav
+    from openhush_tpu.utils.der import (Turn, evaluate_rttm_dataset,
+                                        write_rttm)
+    sr = 16000
+    audio = np.zeros(sr * 2, np.float32)
+    # 3 stray wavs sorting BEFORE the 2 paired ones.
+    for name in ("a_stray1", "a_stray2", "a_stray3"):
+        save_wav(str(tmp_path / f"{name}.wav"), audio)
+    for name in ("z_pair1", "z_pair2"):
+        save_wav(str(tmp_path / f"{name}.wav"), audio)
+        write_rttm(str(tmp_path / f"{name}.rttm"), name,
+                   [Turn(0.0, 2.0, 0)])
+    eng = _FakeDiarizer()
+    res = evaluate_rttm_dataset(str(tmp_path), engine=eng, limit=2)
+    assert eng.reset_calls == 2          # both pairs evaluated
+    assert res.der == pytest.approx(0.0, abs=1e-6)
+
+
+def test_evaluate_rttm_dataset_empty_raises(tmp_path):
+    from openhush_tpu.utils.der import evaluate_rttm_dataset
+    with pytest.raises(FileNotFoundError):
+        evaluate_rttm_dataset(str(tmp_path), engine=_FakeDiarizer())

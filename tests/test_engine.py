@@ -102,3 +102,23 @@ def test_engine_int8_weights_path():
     assert isinstance(eng.params["decoder"]["layers"]["q_w"], dict)
     res = eng.transcribe(_speechish(1.0), language="en")
     assert isinstance(res, TranscriptionResult)
+
+
+def test_int8_weights_env_zero_is_hard_off(tmp_path, monkeypatch):
+    """OPENHUSH_INT8_WEIGHTS=0 is the documented debugging kill-switch:
+    it must force bf16 weights even when the checkpoint gate's
+    int8_rung.ok marker exists."""
+    monkeypatch.setenv("OPENHUSH_MODEL_DIR", str(tmp_path))
+    monkeypatch.delenv("OPENHUSH_INT8_RUNG", raising=False)
+    (tmp_path / "int8_rung.ok").touch()
+
+    monkeypatch.setenv("OPENHUSH_INT8_WEIGHTS", "0")
+    eng = WhisperEngine("test", allow_random_init=True, dtype="bfloat16",
+                        language="en")
+    assert not isinstance(eng.params["decoder"]["layers"]["q_w"], dict)
+
+    # Unset, the marker alone flips quantization on.
+    monkeypatch.delenv("OPENHUSH_INT8_WEIGHTS")
+    eng = WhisperEngine("test", allow_random_init=True, dtype="bfloat16",
+                        language="en")
+    assert isinstance(eng.params["decoder"]["layers"]["q_w"], dict)

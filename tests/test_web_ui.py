@@ -199,6 +199,19 @@ def test_coerce_raw_types_and_errors():
     assert cur["a"]["count"] == 3             # input never mutated
 
 
+def test_coerce_raw_bool_strings():
+    """Non-browser clients post string form values: bool('false') is
+    True, so the usual spellings must parse, and junk must error."""
+    from openhush_tpu.ui.web import coerce_raw
+    cur = {"a": {"flag": True, "flag2": False}}
+    merged, errs = coerce_raw(cur, {"a.flag": "false", "a.flag2": "on"})
+    assert merged["a"] == {"flag": False, "flag2": True} and not errs
+    merged, errs = coerce_raw(cur, {"a.flag": "0", "a.flag2": "True"})
+    assert merged["a"] == {"flag": False, "flag2": True} and not errs
+    _, errs = coerce_raw(cur, {"a.flag": "maybe"})
+    assert errs and "a.flag" in errs[0]
+
+
 def test_config_get_includes_server_rendered_form(ui):
     d = _get(ui, "/api/config")
     assert "form_html" in d and "data-kind=" in d["form_html"]
