@@ -616,18 +616,37 @@ def main() -> None:
                 probe_server = EngineServer(
                     cfg, params, n_slots=background + 2, inner_steps=4,
                     harvest_every=1, audio_ctx=512,
-                    max_decode_len=min(448, cfg.n_text_ctx),
+                    # Realistic 5 s-window token budget (~15-25 tokens of
+                    # real speech; random weights never hit EOT).
+                    max_decode_len=32,
                     temperatures=(0.0,), logprob_threshold=-1e9,
                     no_speech_threshold=2.0,
                     tokenizer=WhisperTokenizer(cfg.n_langs))
+                lat_n = int(os.environ.get("OPENHUSH_BENCH_LAT_N", "16"))
                 try:
+                    # Primary: background sessions stream at REALTIME
+                    # cadence (a 5 s window every 5 s, staggered) — N
+                    # concurrent dictation sessions, the product's load.
                     lat = latency_probe.loaded(
-                        MODEL, background=background,
-                        n=int(os.environ.get("OPENHUSH_BENCH_LAT_N",
-                                             "16")),
-                        server=probe_server)
+                        MODEL, background=background, n=lat_n,
+                        server=probe_server,
+                        pace_secs=float(os.environ.get(
+                            "OPENHUSH_BENCH_LAT_PACE", "5")))
                     if lat:
                         out.update(lat)
+                        persist(out)
+                    # Secondary: the saturation torture test (every
+                    # session resubmits on completion — 100% utilization;
+                    # a queueing number, kept for round-over-round
+                    # comparability).
+                    sat = latency_probe.loaded(
+                        MODEL, background=background, n=lat_n,
+                        server=probe_server, pace_secs=0.0)
+                    if sat:
+                        out["first_partial_sat_p50_ms"] = (
+                            sat["first_partial_p50_ms"])
+                        out["first_partial_sat_p95_ms"] = (
+                            sat["first_partial_p95_ms"])
                 finally:
                     probe_server.state = None
                     import gc

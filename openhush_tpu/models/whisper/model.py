@@ -655,6 +655,104 @@ def _attend_decode_flat_multi(q3, k_flat, v_flat, mask4, n_head, *,
         B, S, HD).astype(q3.dtype)
 
 
+def _attend_decode_flat_ro(q3, k_cache, v_cache, cache_mask, k_new,
+                           v_new, n_head, *, ks=None, vs=None,
+                           ksn=None, vsn=None):
+    """Read-only-cache twin of _attend_decode_flat_multi: the cache is
+    never written inside the step — the S new keys ride ALONGSIDE it and
+    their scores concatenate into the softmax.
+
+    Why: carrying the self-cache through the layer scan's xs→ys rewrites
+    the whole buffer every step (measured +7.3 ms/step of the 18.3 ms
+    B=32 large-v3 decode step, tools/decode_step_variants.py). Here the
+    cache is a pure xs operand (no ys emission) and decode() writes the
+    [L,B,S,H*D] delta ONCE into the caller's loop-carried cache.
+
+    q3 [B,S,HD] (S·H ≤ 128); k_cache/v_cache [B,T,HD] holding positions
+    < pos only; cache_mask [B|1,T] (key j visible iff j < pos_row —
+    same for every query; positions ≥ pos live in the block). k_new/
+    v_new [B,S,HD] ALREADY in cache dtype (bf16-cast or int8-quantized):
+    block key jb is visible to query i iff jb ≤ i (causal). ksn/vsn
+    [B,S,H] are the new keys' scales in the int8 path.
+
+    Exactness: block scores use the SAME block-diagonal selector einsum
+    as the cache scores, so per-element results are bit-identical to
+    what the write-then-attend path computed reading those keys back
+    from the cache (the MXU contraction over H*D doesn't depend on T);
+    the int8 probs quantization takes its per-(row, query, head) scale
+    over cache+block jointly (max is order-independent). Only softmax's
+    fp32 sum order differs — reduction-order noise, same class the
+    S=1-vs-multi paths already tolerate."""
+    B, S, HD = q3.shape
+    D = HD // n_head
+    T = k_cache.shape[1]
+    sel = jnp.asarray(_bd_selector(n_head, D)[:, :n_head])
+    quant = k_cache.dtype == jnp.int8
+    SH = S * n_head
+
+    if quant:
+        qh = q3.astype(jnp.float32).reshape(B, S, n_head, D)
+        qscale = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1), 1e-10) / 127.0
+        q8 = jnp.clip(jnp.round(qh / qscale[..., None]), -127, 127)
+        q8f = q8.reshape(B, S, HD)
+        qbd = (q8f[:, :, :, None] * sel[None, None]).astype(jnp.int8)
+        qbd = qbd.transpose(0, 2, 1, 3).reshape(B, HD, SH)
+        sc_c = jnp.einsum("btk,bkm->btm", k_cache, qbd,
+                          preferred_element_type=jnp.int32
+                          ).reshape(B, T, S, n_head).astype(jnp.float32)
+        sc_c = sc_c * ks[:, :, None, :] * qscale[:, None] * (D ** -0.5)
+        sc_n = jnp.einsum("bjk,bkm->bjm", k_new, qbd,
+                          preferred_element_type=jnp.int32
+                          ).reshape(B, S, S, n_head).astype(jnp.float32)
+        sc_n = sc_n * ksn[:, :, None, :] * qscale[:, None] * (D ** -0.5)
+    else:
+        qbd = (q3[:, :, :, None] * sel.astype(q3.dtype)[None, None])
+        qbd = qbd.transpose(0, 2, 1, 3).reshape(B, HD, SH)
+        sc_c = jnp.einsum("btk,bkm->btm", k_cache, qbd,
+                          preferred_element_type=jnp.float32
+                          ).reshape(B, T, S, n_head) * (D ** -0.5)
+        sc_n = jnp.einsum("bjk,bkm->bjm", k_new, qbd,
+                          preferred_element_type=jnp.float32
+                          ).reshape(B, S, S, n_head) * (D ** -0.5)
+
+    neg = jnp.finfo(jnp.float32).min
+    if cache_mask is not None:
+        sc_c = jnp.where(cache_mask[:, :, None, None], sc_c, neg)
+    blk = (jnp.arange(S)[:, None] <= jnp.arange(S)[None, :])  # [jb, i]
+    sc_n = jnp.where(blk[None, :, :, None], sc_n, neg)
+    probs = jax.nn.softmax(jnp.concatenate([sc_c, sc_n], axis=1),
+                           axis=1)                   # over T + S keys
+    p_c, p_n = probs[:, :T], probs[:, T:]
+    if quant:
+        pv_c = p_c * vs[:, :, None, :]
+        pv_n = p_n * vsn[:, :, None, :]
+        pscale = jnp.maximum(jnp.maximum(jnp.max(pv_c, axis=1),
+                                         jnp.max(pv_n, axis=1)),
+                             1e-20) / 127.0          # [B, S, H]
+        p8c = jnp.clip(jnp.round(pv_c / pscale[:, None]), -127, 127
+                       ).astype(jnp.int8)
+        p8n = jnp.clip(jnp.round(pv_n / pscale[:, None]), -127, 127
+                       ).astype(jnp.int8)
+        out_i = (jnp.einsum("btm,btk->bmk", p8c.reshape(B, T, SH),
+                            v_cache, preferred_element_type=jnp.int32)
+                 + jnp.einsum("bjm,bjk->bmk", p8n.reshape(B, S, SH),
+                              v_new, preferred_element_type=jnp.int32))
+        out = (out_i.reshape(B, S, n_head, HD).astype(jnp.float32)
+               * pscale[..., None])
+    else:
+        out = (jnp.einsum("btm,btk->bmk",
+                          p_c.reshape(B, T, SH).astype(v_cache.dtype),
+                          v_cache, preferred_element_type=jnp.float32)
+               + jnp.einsum("bjm,bjk->bmk",
+                            p_n.reshape(B, S, SH).astype(v_new.dtype),
+                            v_new, preferred_element_type=jnp.float32)
+               ).reshape(B, S, n_head, HD)
+    out5 = out.reshape(B, S, n_head, n_head, D)
+    eye = jnp.asarray(np.eye(n_head, dtype=np.float32))
+    return jnp.einsum("bshgd,hg->bshd", out5, eye).reshape(
+        B, S, HD).astype(q3.dtype)
+
+
 def _attend_views(q4, k4, v4, mask, *, ks=None, vs=None):
     """Multi-query attention on [B, T, H, D] views of flat KV (prefill
     path; S>1 is rare so per-head einsums are fine here).
@@ -676,6 +774,119 @@ def _attend_views(q4, k4, v4, mask, *, ks=None, vs=None):
                      v4.astype(compute))
     B, S = q4.shape[:2]
     return out.reshape(B, S, -1).astype(q4.dtype)
+
+
+def _decode_flat_ro(cfg: WhisperConfig, params: Params, x: jax.Array,
+                    pos: jax.Array, cache, cross_kv
+                    ) -> tuple[jax.Array, KVCache]:
+    """decode() body for S·H ≤ 128: the self-cache rides the layer scan
+    as a READ-ONLY xs operand and the step's new K/V come back as the
+    scan's only ys ([L,B,S,H*D] — 2.6 MB at large-v3/B=32 vs the 1.3 GB
+    cache), written into the cache ONCE at the end. Inside a caller's
+    decode loop that write is in-place on the loop carry; the old
+    update-inside-scan path rewrote the entire cache through stacked ys
+    every step (+7.3 ms of the 18.3 ms B=32 step,
+    tools/decode_step_variants.py variants B/C/G)."""
+    dec = params["decoder"]
+    B, S, _ = x.shape
+    n_head = cfg.n_text_head
+    max_len = cache.k.shape[2]
+    per_row = jnp.asarray(pos).ndim == 1
+    quantized = isinstance(cross_kv, QuantKVCache)
+    quant_self = isinstance(cache, QuantKVCache)
+
+    # Cache key j is visible iff j < pos_row — positions ≥ pos_row live
+    # in the block (causal inside it), so unlike the write-then-attend
+    # path the cache mask has no per-query dimension.
+    key_idx = jnp.arange(max_len)[None, :]
+    cache_mask = key_idx < (pos[:, None] if per_row else pos)
+
+    def block(x, scanned):
+        if quantized:
+            if quant_self:
+                (lp, k_cache, v_cache, ks_c, vs_c, xk, xks, xv,
+                 xvs) = scanned
+            else:
+                lp, k_cache, v_cache, xk, xks, xv, xvs = scanned
+        else:
+            if quant_self:
+                lp, k_cache, v_cache, ks_c, vs_c, xk, xv = scanned
+            else:
+                lp, k_cache, v_cache, xk, xv = scanned
+            xks = xvs = None
+        h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+        q = _mm(h, lp["q_w"]) + lp["q_b"]                    # [B, S, HD]
+        k_new = _mm(h, lp["k_w"])
+        v_new = _mm(h, lp["v_w"]) + lp["v_b"]
+        if quant_self:
+            k8, k_s = _quantize_heads(k_new, n_head)
+            v8, v_s = _quantize_heads(v_new, n_head)
+            attn = _attend_decode_flat_ro(
+                q, k_cache, v_cache, cache_mask, k8, v8, n_head,
+                ks=ks_c, vs=vs_c, ksn=k_s, vsn=v_s)
+            ys = (k8, k_s, v8, v_s)
+        else:
+            kc_new = k_new.astype(k_cache.dtype)
+            vc_new = v_new.astype(v_cache.dtype)
+            attn = _attend_decode_flat_ro(
+                q, k_cache, v_cache, cache_mask, kc_new, vc_new,
+                n_head)
+            ys = (kc_new, vc_new)
+        x = x + _mm(attn, lp["o_w"]) + lp["o_b"]
+        # --- cross-attention (already read-only) ---
+        h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+        xq = _mm(h, lp["xq_w"]) + lp["xq_b"]
+        if S == 1:
+            attn = _attend_decode_flat(
+                xq[:, 0], xk, xv, None, n_head,
+                ks=xks, vs=xvs)[:, None]
+        else:
+            attn = _attend_decode_flat_multi(
+                xq, xk, xv, None, n_head, ks=xks, vs=xvs)
+        x = x + _mm(attn, lp["xo_w"]) + lp["xo_b"]
+        h = layer_norm(x, lp["ln3_scale"], lp["ln3_bias"])
+        x = x + _mlp(h, lp)
+        return x, ys
+
+    self_xs = ((cache.k, cache.v, cache.k_scale, cache.v_scale)
+               if quant_self else (cache.k, cache.v))
+    if quantized:
+        xs = (dec["layers"], *self_xs, cross_kv.k, cross_kv.k_scale,
+              cross_kv.v, cross_kv.v_scale)
+    else:
+        xs = (dec["layers"], *self_xs, cross_kv.k, cross_kv.v)
+    x, deltas = jax.lax.scan(block, x, xs)
+
+    def write(buf, new):
+        """buf [L,B,T,...] ← new [L,B,S,...] at the shared or per-row
+        offset — the step's ONLY cache write."""
+        if per_row:
+            return jax.vmap(
+                lambda cb, nb, p: jax.lax.dynamic_update_slice(
+                    cb, nb, (0, p) + (0,) * (cb.ndim - 2)),
+                in_axes=(1, 1, 0), out_axes=1)(buf, new, pos)
+        return jax.lax.dynamic_update_slice(
+            buf, new, (0, 0, pos) + (0,) * (buf.ndim - 3))
+
+    if quant_self:
+        k8, k_s, v8, v_s = deltas
+        new_cache = QuantKVCache(write(cache.k, k8),
+                                 write(cache.k_scale, k_s),
+                                 write(cache.v, v8),
+                                 write(cache.v_scale, v_s))
+    else:
+        new_cache = KVCache(write(cache.k, deltas[0]),
+                            write(cache.v, deltas[1]))
+
+    x = layer_norm(x, dec["ln_scale"], dec["ln_bias"])
+    logits = jnp.dot(x.astype(jnp.float32),
+                     dec["tok_emb"].T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    if cfg.n_vocab_padded > cfg.n_vocab:
+        pad_mask = jnp.arange(cfg.n_vocab_padded) >= cfg.n_vocab
+        logits = jnp.where(pad_mask[None, None],
+                           jnp.finfo(jnp.float32).min, logits)
+    return logits, new_cache
 
 
 def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
@@ -704,6 +915,11 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
     else:
         pos_ids = pos + jnp.arange(S)
     x = x + dec["pos_emb"][pos_ids].astype(x.dtype)
+
+    if S * n_head <= 128:
+        # Hot paths (S=1 AR step, speculative verify, short prefill):
+        # read-only cache + one delta write — see _attend_decode_flat_ro.
+        return _decode_flat_ro(cfg, params, x, pos, cache, cross_kv)
 
     decode_step = S == 1          # single-token AR step → flat attention
     key_idx = jnp.arange(max_len)[None, :]          # [1, max_len]
