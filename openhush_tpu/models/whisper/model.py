@@ -859,12 +859,17 @@ def _decode_flat_ro(cfg: WhisperConfig, params: Params, x: jax.Array,
 
     def write(buf, new):
         """buf [L,B,T,...] ← new [L,B,S,...] at the shared or per-row
-        offset — the step's ONLY cache write."""
+        offset — the step's ONLY cache write. Per-row uses one batched
+        scatter (advanced indexing) rather than a vmapped
+        dynamic_update_slice: the scatter keeps the batch/feature dims
+        intact for SPMD propagation (the vmap form made the partitioner
+        involuntarily rematerialize the donated cache on meshes)."""
         if per_row:
-            return jax.vmap(
-                lambda cb, nb, p: jax.lax.dynamic_update_slice(
-                    cb, nb, (0, p) + (0,) * (cb.ndim - 2)),
-                in_axes=(1, 1, 0), out_axes=1)(buf, new, pos)
+            b_idx = jnp.arange(B)[:, None]                    # [B, 1]
+            t_idx = pos[:, None] + jnp.arange(S)[None, :]     # [B, S]
+            return buf.at[:, b_idx, t_idx].set(new,
+                                               mode="drop",
+                                               unique_indices=True)
         return jax.lax.dynamic_update_slice(
             buf, new, (0, 0, pos) + (0,) * (buf.ndim - 3))
 
