@@ -50,6 +50,9 @@ run roofline      900 python tools/bench_phases.py --roofline
 run phases_bf16  1800 python tools/bench_phases.py large-v3 32 128
 run phases_rung32 1800 env OPENHUSH_BENCH_INT8_W=1 \
   OPENHUSH_BENCH_INT8_CACHE=1 python tools/bench_phases.py large-v3 32 128
-run phases_rung48 2400 env OPENHUSH_BENCH_INT8_W=1 \
-  OPENHUSH_BENCH_INT8_CACHE=1 python tools/bench_phases.py large-v3 48 128
+# B=40, not 48: the B=48 rung run RESOURCE_EXHAUSTEDs this 16 GB chip
+# (compute_cross_kv_quant's per-layer fp32 intermediates peak on top of
+# the 6.3 GB quantized cross-KV); 40 fits with margin.
+run phases_rung40 2400 env OPENHUSH_BENCH_INT8_W=1 \
+  OPENHUSH_BENCH_INT8_CACHE=1 python tools/bench_phases.py large-v3 40 128
 echo "=== battery complete; logs in $OUT ==="
