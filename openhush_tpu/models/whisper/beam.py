@@ -88,7 +88,14 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
         return jnp.repeat(x, K, axis=1)
 
     cache = whisper.KVCache(tile(cache0.k), tile(cache0.v))
-    if isinstance(cross_kv, whisper.QuantKVCache):
+    # K·H ≤ 128: the K beams of each row share ONE cross-KV copy — the
+    # decode step folds the beam dim into the flat attention's query
+    # lanes (model.decode cross_group), reading the audio context once
+    # per row instead of once per beam. Larger K falls back to tiling.
+    cross_group = K if K * cfg.n_text_head <= 128 else 1
+    if cross_group > 1:
+        xkv = cross_kv
+    elif isinstance(cross_kv, whisper.QuantKVCache):
         xkv = whisper.QuantKVCache(tile(cross_kv.k), tile(cross_kv.k_scale),
                                    tile(cross_kv.v), tile(cross_kv.v_scale))
     else:
@@ -192,7 +199,7 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
 
         logits, cache = whisper.decode(
             cfg, params, flat_next[:, None], jnp.int32(prompt_len) + step,
-            cache, xkv)
+            cache, xkv, cross_group=cross_group)
         return (step + 1, tokens, alive_lp, alive_len, fin_scores,
                 fin_tokens, fin_lens, ts_state, cache,
                 logits[:, -1].astype(jnp.float32))

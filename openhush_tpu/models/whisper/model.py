@@ -777,7 +777,7 @@ def _attend_views(q4, k4, v4, mask, *, ks=None, vs=None):
 
 
 def _decode_flat_ro(cfg: WhisperConfig, params: Params, x: jax.Array,
-                    pos: jax.Array, cache, cross_kv
+                    pos: jax.Array, cache, cross_kv, cross_group: int = 1
                     ) -> tuple[jax.Array, KVCache]:
     """decode() body for S·H ≤ 128: the self-cache rides the layer scan
     as a READ-ONLY xs operand and the step's new K/V come back as the
@@ -786,7 +786,14 @@ def _decode_flat_ro(cfg: WhisperConfig, params: Params, x: jax.Array,
     decode loop that write is in-place on the loop carry; the old
     update-inside-scan path rewrote the entire cache through stacked ys
     every step (+7.3 ms of the 18.3 ms B=32 step,
-    tools/decode_step_variants.py variants B/C/G)."""
+    tools/decode_step_variants.py variants B/C/G).
+
+    cross_group > 1: beam mode — every group of `cross_group` consecutive
+    rows SHARES one cross-KV row (cross_kv batch = B / cross_group). The
+    group's rows are folded into the query dimension of the multi-query
+    flat attention, so the shared cross-KV is read ONCE per group instead
+    of once per beam (the dominant decode read at K=5: ~2 GB/step of
+    redundant int8 cross-KV traffic at G=4 groups, large-v3)."""
     dec = params["decoder"]
     B, S, _ = x.shape
     n_head = cfg.n_text_head
@@ -836,7 +843,16 @@ def _decode_flat_ro(cfg: WhisperConfig, params: Params, x: jax.Array,
         # --- cross-attention (already read-only) ---
         h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
         xq = _mm(h, lp["xq_w"]) + lp["xq_b"]
-        if S == 1:
+        if cross_group > 1:
+            # Beam rows share the group's cross-KV row: fold the group
+            # into the query dim (order restored by the inverse reshape;
+            # cross attention has no mask, so query order is free).
+            Gc = B // cross_group
+            xq_g = xq.reshape(Gc, cross_group * S, xq.shape[-1])
+            attn = _attend_decode_flat_multi(
+                xq_g, xk, xv, None, n_head, ks=xks, vs=xvs)
+            attn = attn.reshape(B, S, xq.shape[-1])
+        elif S == 1:
             attn = _attend_decode_flat(
                 xq[:, 0], xk, xv, None, n_head,
                 ks=xks, vs=xvs)[:, None]
@@ -895,7 +911,8 @@ def _decode_flat_ro(cfg: WhisperConfig, params: Params, x: jax.Array,
 
 
 def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
-           pos: jax.Array, cache: KVCache, cross_kv: KVCache,
+           pos: jax.Array, cache: KVCache, cross_kv: KVCache, *,
+           cross_group: int = 1,
            ) -> tuple[jax.Array, KVCache]:
     """Run the decoder on `tokens` [B, S] starting at position `pos`,
     attending to cached self-attention history and precomputed cross K/V.
@@ -905,6 +922,11 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
     `pos` may be a scalar (all rows at the same offset — one-shot decode) or
     a [B] vector (continuous batching: every slot at its own offset).
 
+    cross_group > 1 (beam search): every group of `cross_group` consecutive
+    rows shares ONE cross-KV row (cross_kv batch must be B / cross_group) —
+    the shared audio context is read once per group, not once per beam.
+    Requires cross_group · S · n_head ≤ 128 (one lane tile).
+
     Returns (logits [B, S, n_vocab_padded] fp32, updated cache).
     """
     dec = params["decoder"]
@@ -913,6 +935,16 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
     max_len = cache.k.shape[2]          # flat cache [L, B, T, H*Dh]
     pos = jnp.asarray(pos)
     per_row = pos.ndim == 1
+
+    if cross_group > 1:
+        if B % cross_group:
+            raise ValueError(f"batch {B} not divisible by "
+                             f"cross_group {cross_group}")
+        if cross_group * S * n_head > 128:
+            raise ValueError(
+                f"cross_group·S·H = {cross_group * S * n_head} > 128: "
+                "grouped cross-attention needs one lane tile (tile the "
+                "cross-KV per row instead for this beam size)")
 
     x = dec["tok_emb"][tokens]
     if per_row:
@@ -924,7 +956,8 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
     if S * n_head <= 128:
         # Hot paths (S=1 AR step, speculative verify, short prefill):
         # read-only cache + one delta write — see _attend_decode_flat_ro.
-        return _decode_flat_ro(cfg, params, x, pos, cache, cross_kv)
+        return _decode_flat_ro(cfg, params, x, pos, cache, cross_kv,
+                               cross_group)
 
     decode_step = S == 1          # single-token AR step → flat attention
     key_idx = jnp.arange(max_len)[None, :]          # [1, max_len]

@@ -128,15 +128,25 @@ def shard_beam_state(state, mesh: Mesh, n_groups: int,
                          f"axis ({n_data}); beam groups must not straddle "
                          "devices")
     gk = n_groups * beam_size
+    # Structural placement by field name (shape-sniffing misfires when
+    # K == G or L == G): [L, G*K, ...] caches and [L, G, ...] group-shared
+    # cross-KV split their ROW dim (axis 1) over 'data'; every other
+    # field with a leading G*K or G dim splits axis 0.
+    axis1_fields = {"cache_k", "cache_v", "xkv_k", "xkv_ks",
+                    "xkv_v", "xkv_vs"}
 
-    def place(a):
-        if a.ndim >= 2 and a.shape[1] == gk:         # [L, G*K, ...]
-            return jax.device_put(a, NamedSharding(mesh, P(None, DATA_AXIS)))
-        if a.ndim >= 1 and a.shape[0] in (gk, n_groups):  # [G*K|G, ...]
-            return jax.device_put(a, NamedSharding(mesh, P(DATA_AXIS)))
-        return jax.device_put(a, NamedSharding(mesh, P()))
+    def spec_for(name, a):
+        if name in axis1_fields:
+            return P(None, DATA_AXIS)
+        if a.ndim >= 1 and a.shape[0] in (gk, n_groups):
+            return P(DATA_AXIS)
+        return P()
 
-    return jax.tree.map(place, state)
+    placed = {f: jax.device_put(
+        getattr(state, f),
+        NamedSharding(mesh, spec_for(f, getattr(state, f))))
+        for f in state._fields}
+    return type(state)(**placed)
 
 
 def enable_sharded_flash(mesh: Mesh) -> None:

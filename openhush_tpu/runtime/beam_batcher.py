@@ -26,8 +26,15 @@ picks the best finished row by length-normalized logprob.
 
 Device state mirrors runtime/batcher.SlotState but with a beam axis:
   cache  [L, G*K, T, H*Dh]   self-attn KV, bf16 (gathered by parent beam)
-  xkv    [L, G*K, A, H*Dh]   int8 cross-KV + [L, G*K, A, H] scales,
-                             tiled K-ways per group at admission
+  xkv    [L, G, A, H*Dh]     int8 cross-KV + [L, G, A, H] scales — ONE
+                             copy per group, shared by its K beams: the
+                             decode step folds the beam dim into the flat
+                             attention's query lanes (model.decode
+                             cross_group), so the audio context is read
+                             once per group per step instead of once per
+                             beam (~2 GB/step of redundant int8 reads at
+                             G=4, K=5, large-v3 — and K× less HBM state,
+                             so the budgeter fits more groups)
   tokens [G, K, T]           prompt + per-beam hypotheses
   alive_lp / fin_* [G, K]    beam bookkeeping (beam.py's alive/finished
                              formulation); alive_lp doubles as per-row
@@ -54,8 +61,8 @@ NEG_INF = decoding.NEG_INF
 class BeamState(NamedTuple):
     cache_k: jax.Array       # [L, G*K, T, H*Dh]
     cache_v: jax.Array
-    xkv_k: jax.Array         # int8 [L, G*K, A, H*Dh]
-    xkv_ks: jax.Array        # f32  [L, G*K, A, H]
+    xkv_k: jax.Array         # int8 [L, G, A, H*Dh] — shared per group
+    xkv_ks: jax.Array        # f32  [L, G, A, H]
     xkv_v: jax.Array
     xkv_vs: jax.Array
     tokens: jax.Array        # [G, K, T] int32
@@ -109,10 +116,10 @@ def init_state(cfg: WhisperConfig, n_groups: int, beam_size: int,
     return BeamState(
         cache_k=jnp.zeros((L, GK, T, H * Dh), dtype),
         cache_v=jnp.zeros((L, GK, T, H * Dh), dtype),
-        xkv_k=jnp.zeros((L, GK, A, H * Dh), jnp.int8),
-        xkv_ks=jnp.zeros((L, GK, A, H), jnp.float32),
-        xkv_v=jnp.zeros((L, GK, A, H * Dh), jnp.int8),
-        xkv_vs=jnp.zeros((L, GK, A, H), jnp.float32),
+        xkv_k=jnp.zeros((L, G, A, H * Dh), jnp.int8),
+        xkv_ks=jnp.zeros((L, G, A, H), jnp.float32),
+        xkv_v=jnp.zeros((L, G, A, H * Dh), jnp.int8),
+        xkv_vs=jnp.zeros((L, G, A, H), jnp.float32),
         tokens=jnp.full((G, K, T), sp.eot, jnp.int32),
         alive_lp=jnp.full((G, K), NEG_INF, jnp.float32),
         alive_len=jnp.zeros((G, K), jnp.int32),
@@ -141,8 +148,9 @@ def state_bytes(cfg: WhisperConfig, n_groups: int, beam_size: int,
                 audio_ctx: Optional[int] = None) -> int:
     """Exact device bytes init_state(...) will allocate (jax.eval_shape —
     can't drift from the allocation code). Beam groups are the
-    HBM-heaviest state in the tree: G·K bf16 self-caches plus G·K int8
-    cross-KV copies; the server budgeter sizes G against the chip."""
+    HBM-heaviest state in the tree: G·K bf16 self-caches plus one int8
+    cross-KV copy per group; the server budgeter sizes G against the
+    chip."""
     import numpy as np
     shapes = jax.eval_shape(functools.partial(
         init_state, cfg, n_groups, beam_size, dtype=dtype,
@@ -274,19 +282,17 @@ def _admit_impl(cfg: WhisperConfig, params, donated, kept, group,
                 temperature, rng, row, max_new, *,
                 prompt_len: int) -> BeamState:
     state = _unpack(donated, kept)
-    K = state.tokens.shape[1]
-    base = group * K
     pick = lambda a: jax.lax.dynamic_slice_in_dim(a, row, 1, axis=1)
     row_xkv = whisper.QuantKVCache(pick(new_xkv.k), pick(new_xkv.k_scale),
                                    pick(new_xkv.v), pick(new_xkv.v_scale))
-    tile = lambda x: jnp.repeat(x, K, axis=1)
+    # ONE copy per group — the step shares it across the K beams.
     put = lambda buf, val: jax.lax.dynamic_update_slice(
-        buf, val.astype(buf.dtype), (0, base) + (0,) * (buf.ndim - 2))
+        buf, val.astype(buf.dtype), (0, group) + (0,) * (buf.ndim - 2))
     state = state._replace(
-        xkv_k=put(state.xkv_k, tile(row_xkv.k)),
-        xkv_ks=put(state.xkv_ks, tile(row_xkv.k_scale)),
-        xkv_v=put(state.xkv_v, tile(row_xkv.v)),
-        xkv_vs=put(state.xkv_vs, tile(row_xkv.v_scale)))
+        xkv_k=put(state.xkv_k, row_xkv.k),
+        xkv_ks=put(state.xkv_ks, row_xkv.k_scale),
+        xkv_v=put(state.xkv_v, row_xkv.v),
+        xkv_vs=put(state.xkv_vs, row_xkv.v_scale))
     return _prefill_group(cfg, params, state, group, row_xkv, prompt,
                           use_timestamps, temperature, rng, max_new,
                           prompt_len)
@@ -298,9 +304,7 @@ def _readmit_impl(cfg: WhisperConfig, params, donated, kept, group, prompt,
                   use_timestamps, temperature, rng, max_new, *,
                   prompt_len: int) -> BeamState:
     state = _unpack(donated, kept)
-    K = state.tokens.shape[1]
-    base = group * K
-    pick = lambda a: jax.lax.dynamic_slice_in_dim(a, base, 1, axis=1)
+    pick = lambda a: jax.lax.dynamic_slice_in_dim(a, group, 1, axis=1)
     row_xkv = whisper.QuantKVCache(pick(state.xkv_k), pick(state.xkv_ks),
                                    pick(state.xkv_v), pick(state.xkv_vs))
     return _prefill_group(cfg, params, state, group, row_xkv, prompt,
@@ -341,8 +345,19 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
     GK = G * K
     V = state.last_logits.shape[1]
     ids = jnp.arange(V)
-    xkv = whisper.QuantKVCache(state.xkv_k, state.xkv_ks,
-                               state.xkv_v, state.xkv_vs)
+    if K * cfg.n_text_head <= 128:
+        # Grouped cross-attention: the K beams of each group read the
+        # group's single cross-KV copy once per step (decode cross_group).
+        xkv = whisper.QuantKVCache(state.xkv_k, state.xkv_ks,
+                                   state.xkv_v, state.xkv_vs)
+        cross_group = K
+    else:
+        # K·H exceeds one lane tile: tile the group copies to GK rows
+        # once per dispatch (loop-invariant across the inner scan).
+        rep = lambda a: jnp.repeat(a, K, axis=1)
+        xkv = whisper.QuantKVCache(rep(state.xkv_k), rep(state.xkv_ks),
+                                   rep(state.xkv_v), rep(state.xkv_vs))
+        cross_group = 1
 
     def one_step(state, _):
         live = state.active & ~state.finished                   # [G]
@@ -457,7 +472,8 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
                                 state.cache_v[:, flat_parent])
         feed = tok_sel.reshape(GK)
         logits, cache = whisper.decode(cfg, params, feed[:, None],
-                                       jnp.repeat(pos_g, K), cache, xkv)
+                                       jnp.repeat(pos_g, K), cache, xkv,
+                                       cross_group=cross_group)
         last_logits = jnp.where(liver[:, None],
                                 logits[:, -1].astype(jnp.float32),
                                 state.last_logits)
