@@ -355,8 +355,10 @@ def beam_serving_bench(cfg, params, *, beam_size=5, n_groups=None,
 
     prompt_len = 4
     max_len = prompt_len + DECODE_STEPS + 1
+    # Default raised 4 → 8 after the group-shared cross-KV change freed
+    # ~550 MB/group; the budgeter still caps to what the chip fits.
     want = n_groups or int(os.environ.get("OPENHUSH_BENCH_BEAM_GROUPS",
-                                          "4"))
+                                          "8"))
     fit = hbm_fit_count(params, functools.partial(
         beam_batcher.state_bytes, cfg, beam_size=beam_size,
         max_len=max_len))
