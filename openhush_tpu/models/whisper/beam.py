@@ -88,18 +88,26 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
         return jnp.repeat(x, K, axis=1)
 
     cache = whisper.KVCache(tile(cache0.k), tile(cache0.v))
-    # K·H ≤ 128: the K beams of each row share ONE cross-KV copy — the
-    # decode step folds the beam dim into the flat attention's query
-    # lanes (model.decode cross_group), reading the audio context once
-    # per row instead of once per beam. Larger K falls back to tiling.
-    cross_group = K if K * cfg.n_text_head <= 128 else 1
-    if cross_group > 1:
+    # K·H ≤ 128: ancestry-masked group step (model.decode_beam_step) —
+    # ONE shared cross-KV copy per row and NO physical cache reorder on
+    # beam switches (the row gather cost ~40% of the serving beam step;
+    # tools/beam_step_components.py). Larger K falls back to tiling +
+    # parent-gather.
+    grouped = K * cfg.n_text_head <= 128
+    if grouped:
         xkv = cross_kv
     elif isinstance(cross_kv, whisper.QuantKVCache):
         xkv = whisper.QuantKVCache(tile(cross_kv.k), tile(cross_kv.k_scale),
                                    tile(cross_kv.v), tile(cross_kv.v_scale))
     else:
         xkv = whisper.KVCache(tile(cross_kv.k), tile(cross_kv.v))
+    # Ancestry: each tiled prompt row belongs to its own beam. Tc is the
+    # CACHE length (n_text_ctx), not the token-buffer length L.
+    Tc = cache.k.shape[2]
+    anc0 = jnp.broadcast_to(
+        jnp.eye(K, dtype=bool)[None, :, :, None]
+        & (jnp.arange(Tc)[None, None, None, :] < prompt_len),
+        (B, K, K, Tc))
 
     tokens = jnp.full((B, K, L), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(
@@ -127,7 +135,7 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
 
     def body(carry):
         (step, tokens, alive_lp, alive_len, fin_scores, fin_tokens, fin_lens,
-         ts_state, cache, last_logits) = carry
+         ts_state, cache, last_logits, anc) = carry
 
         lg = last_logits.reshape(B, K, V)
         lg = jnp.where(suppress_mask[None, None, :], NEG_INF, lg)
@@ -191,23 +199,36 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
             sp_consts, step)
         ts_state = jax.tree.map(lambda x: x.reshape(B, K), new_ts)
 
-        # Gather cache rows (flat index = b*K + parent).
-        flat_parent = (alive_parent
-                       + jnp.arange(B)[:, None] * K).reshape(B * K)
-        cache = whisper.KVCache(cache.k[:, flat_parent],
-                                cache.v[:, flat_parent])
-
-        logits, cache = whisper.decode(
-            cfg, params, flat_next[:, None], jnp.int32(prompt_len) + step,
-            cache, xkv, cross_group=cross_group)
+        pos = jnp.full((B,), prompt_len, jnp.int32) + step
+        if grouped:
+            # Inherit the parent's ancestry; the cache is never permuted.
+            anc = jnp.take_along_axis(
+                anc, alive_parent[:, :, None, None], axis=1)
+            logits3, cache = whisper.decode_beam_step(
+                cfg, params, alive_tok, pos, cache,
+                anc.reshape(B, K, K * Tc), xkv)
+            last = logits3.reshape(B * K, V)
+            anc = anc | (jnp.eye(K, dtype=bool)[None, :, :, None]
+                         & (jnp.arange(Tc)[None, None, None, :]
+                            == pos[:, None, None, None]))
+        else:
+            # Gather cache rows (flat index = b*K + parent).
+            flat_parent = (alive_parent
+                           + jnp.arange(B)[:, None] * K).reshape(B * K)
+            cache = whisper.KVCache(cache.k[:, flat_parent],
+                                    cache.v[:, flat_parent])
+            logits, cache = whisper.decode(
+                cfg, params, flat_next[:, None],
+                jnp.int32(prompt_len) + step, cache, xkv)
+            last = logits[:, -1]
         return (step + 1, tokens, alive_lp, alive_len, fin_scores,
                 fin_tokens, fin_lens, ts_state, cache,
-                logits[:, -1].astype(jnp.float32))
+                last.astype(jnp.float32), anc)
 
     init = (jnp.int32(0), tokens, alive_lp, alive_len, fin_scores,
-            fin_tokens, fin_lens, ts_state, cache, last_logits)
+            fin_tokens, fin_lens, ts_state, cache, last_logits, anc0)
     (_, tokens, alive_lp, alive_len, fin_scores, fin_tokens, fin_lens, _,
-     _, _) = jax.lax.while_loop(cond, body, init)
+     _, _, _) = jax.lax.while_loop(cond, body, init)
 
     # If nothing finished for a row, fall back to the best alive beam.
     alive_scores = _length_score(alive_lp, alive_len, length_penalty)

@@ -753,6 +753,72 @@ def _attend_decode_flat_ro(q3, k_cache, v_cache, cache_mask, k_new,
         B, S, HD).astype(q3.dtype)
 
 
+def _attend_decode_flat_beam(q3, k_cache, v_cache, anc_mask, k_new, v_new,
+                             n_head):
+    """Beam-group self-attention WITHOUT cache reordering.
+
+    Beam search logically requires each new beam to inherit its parent's
+    KV history; materializing that as a physical row gather costs a full
+    cache rewrite per step (measured 5.6 ms of the 13.2 ms G=4 K=5
+    large-v3 step — the axis-1 gather runs at ~170 GB/s;
+    tools/beam_step_components.py). Here the cache stays PUT: the K
+    beams of a group attend jointly over the group's K·T cache entries
+    (a free reshape of the row-contiguous [G*K, T, HD] layout), and an
+    ANCESTRY mask selects, per (query beam, position), which row held
+    that beam's history when the position was written. The caller
+    updates the mask per step (gather by parent + set own bit) — 14 KB
+    per group instead of ~1 GB of permuted cache.
+
+    q3     [G, K, HD]       one query per beam
+    k/v_cache [G, K*T, HD]  the group's rows, flattened (row-major: key
+                            index j = row*T + t)
+    anc_mask [G, K, K*T]    query i may see key j iff its ancestry wrote j
+    k/v_new  [G, K, HD]     this step's keys — query i sees ONLY its own
+                            (identity block mask; other beams' new keys
+                            belong to different hypotheses)
+
+    Exactness: scores use the same block-diagonal selector einsum as
+    every other flat path (contraction over HD is position-independent),
+    and masked-out keys contribute exp(-inf)=0 to the softmax sum —
+    the same values the gathered formulation sums, plus exact zeros;
+    only fp32 summation order differs (reduction-order noise, the class
+    the S=1-vs-multi paths already tolerate)."""
+    G, K, HD = q3.shape
+    D = HD // n_head
+    Tk = k_cache.shape[1]
+    sel = jnp.asarray(_bd_selector(n_head, D)[:, :n_head])
+    SH = K * n_head
+
+    qbd = (q3[:, :, :, None] * sel.astype(q3.dtype)[None, None])
+    qbd = qbd.transpose(0, 2, 1, 3).reshape(G, HD, SH)
+    sc_c = jnp.einsum("gtk,gkm->gtm", k_cache, qbd,
+                      preferred_element_type=jnp.float32
+                      ).reshape(G, Tk, K, n_head) * (D ** -0.5)
+    sc_n = jnp.einsum("gjk,gkm->gjm", k_new, qbd,
+                      preferred_element_type=jnp.float32
+                      ).reshape(G, K, K, n_head) * (D ** -0.5)
+
+    neg = jnp.finfo(jnp.float32).min
+    # anc_mask [G, K(q), Tk] → [G, Tk, K(q), 1]
+    sc_c = jnp.where(anc_mask.transpose(0, 2, 1)[..., None], sc_c, neg)
+    blk = jnp.eye(K, dtype=bool)                       # [jb, i]
+    sc_n = jnp.where(blk[None, :, :, None], sc_n, neg)
+    probs = jax.nn.softmax(jnp.concatenate([sc_c, sc_n], axis=1),
+                           axis=1)                     # over Tk + K keys
+    p_c, p_n = probs[:, :Tk], probs[:, Tk:]
+    out = (jnp.einsum("gtm,gtk->gmk",
+                      p_c.reshape(G, Tk, SH).astype(v_cache.dtype),
+                      v_cache, preferred_element_type=jnp.float32)
+           + jnp.einsum("gjm,gjk->gmk",
+                        p_n.reshape(G, K, SH).astype(v_new.dtype),
+                        v_new, preferred_element_type=jnp.float32)
+           ).reshape(G, K, n_head, HD)
+    out5 = out.reshape(G, K, n_head, n_head, D)
+    eye = jnp.asarray(np.eye(n_head, dtype=np.float32))
+    return jnp.einsum("bshgd,hg->bshd", out5, eye).reshape(
+        G, K, HD).astype(q3.dtype)
+
+
 def _attend_views(q4, k4, v4, mask, *, ks=None, vs=None):
     """Multi-query attention on [B, T, H, D] views of flat KV (prefill
     path; S>1 is rare so per-head einsums are fine here).
@@ -898,6 +964,93 @@ def _decode_flat_ro(cfg: WhisperConfig, params: Params, x: jax.Array,
     else:
         new_cache = KVCache(write(cache.k, deltas[0]),
                             write(cache.v, deltas[1]))
+
+    x = layer_norm(x, dec["ln_scale"], dec["ln_bias"])
+    logits = jnp.dot(x.astype(jnp.float32),
+                     dec["tok_emb"].T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    if cfg.n_vocab_padded > cfg.n_vocab:
+        pad_mask = jnp.arange(cfg.n_vocab_padded) >= cfg.n_vocab
+        logits = jnp.where(pad_mask[None, None],
+                           jnp.finfo(jnp.float32).min, logits)
+    return logits, new_cache
+
+
+def decode_beam_step(cfg: WhisperConfig, params: Params,
+                     tokens: jax.Array, pos: jax.Array, cache: KVCache,
+                     anc_mask: jax.Array, cross_kv
+                     ) -> tuple[jax.Array, KVCache]:
+    """One beam-search decode step for G groups of K beams — no cache
+    reorder, no cross-KV tiling.
+
+    tokens [G, K] (each beam's next token), pos [G] (groups advance in
+    lockstep), cache [L, G*K, T, H*D] (rows group-major, NEVER permuted),
+    anc_mask [G, K, K*T] (ancestry: query beam i may see flattened cache
+    key j = row*T + t iff its history wrote it — see
+    _attend_decode_flat_beam), cross_kv [L, G, A, ...] (ONE copy per
+    group, bf16 or int8).
+
+    The caller owns the ancestry update (gather by parent + set own bit
+    at `pos` for the next step); this function only consumes the mask.
+    Returns (logits [G, K, V] fp32, cache with each beam's new K/V
+    written at (row, pos)). Requires K · n_head ≤ 128."""
+    dec = params["decoder"]
+    G, K = tokens.shape
+    n_head = cfg.n_text_head
+    L, GK, T, HD = cache.k.shape
+    if K * n_head > 128:
+        raise ValueError(f"K·H = {K * n_head} > 128: the grouped beam "
+                         "step needs one lane tile")
+    quantized = isinstance(cross_kv, QuantKVCache)
+
+    x = dec["tok_emb"][tokens]                           # [G, K, D]
+    x = x + dec["pos_emb"][pos][:, None].astype(x.dtype)
+
+    flat = lambda a: a.reshape(L, G, K * T, HD)
+
+    def block(x, scanned):
+        if quantized:
+            lp, k_cache, v_cache, xk, xks, xv, xvs = scanned
+        else:
+            lp, k_cache, v_cache, xk, xv = scanned
+            xks = xvs = None
+        h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+        q = _mm(h, lp["q_w"]) + lp["q_b"]                # [G, K, HD]
+        k_new = _mm(h, lp["k_w"])
+        v_new = _mm(h, lp["v_w"]) + lp["v_b"]
+        kc_new = k_new.astype(k_cache.dtype)
+        vc_new = v_new.astype(v_cache.dtype)
+        attn = _attend_decode_flat_beam(q, k_cache, v_cache, anc_mask,
+                                        kc_new, vc_new, n_head)
+        x = x + _mm(attn, lp["o_w"]) + lp["o_b"]
+        h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+        xq = _mm(h, lp["xq_w"]) + lp["xq_b"]
+        attn = _attend_decode_flat_multi(xq, xk, xv, None, n_head,
+                                         ks=xks, vs=xvs)
+        x = x + _mm(attn, lp["xo_w"]) + lp["xo_b"]
+        h = layer_norm(x, lp["ln3_scale"], lp["ln3_bias"])
+        x = x + _mlp(h, lp)
+        return x, (kc_new, vc_new)
+
+    if quantized:
+        xs = (dec["layers"], flat(cache.k), flat(cache.v), cross_kv.k,
+              cross_kv.k_scale, cross_kv.v, cross_kv.v_scale)
+    else:
+        xs = (dec["layers"], flat(cache.k), flat(cache.v), cross_kv.k,
+              cross_kv.v)
+    x, (dk, dv) = jax.lax.scan(block, x, xs)
+
+    # Delta write: beam (g, i) → row g*K + i at position pos[g]. One
+    # batched scatter, same shape discipline as _decode_flat_ro.write.
+    pos_rep = jnp.repeat(pos, K)                         # [GK]
+    b_idx = jnp.arange(GK)[:, None]
+    t_idx = pos_rep[:, None] + jnp.zeros((1, 1), jnp.int32)
+
+    def write(buf, new):                                 # new [L, G, K, HD]
+        return buf.at[:, b_idx, t_idx].set(
+            new.reshape(L, GK, 1, HD), mode="drop", unique_indices=True)
+
+    new_cache = KVCache(write(cache.k, dk), write(cache.v, dv))
 
     x = layer_norm(x, dec["ln_scale"], dec["ln_bias"])
     logits = jnp.dot(x.astype(jnp.float32),

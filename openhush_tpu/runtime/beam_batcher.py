@@ -25,7 +25,13 @@ that: K independent sampling rows (identity parents, no reordering), harvest
 picks the best finished row by length-normalized logprob.
 
 Device state mirrors runtime/batcher.SlotState but with a beam axis:
-  cache  [L, G*K, T, H*Dh]   self-attn KV, bf16 (gathered by parent beam)
+  cache  [L, G*K, T, H*Dh]   self-attn KV, bf16 — NEVER physically
+                             reordered: beam inheritance is an ancestry
+                             MASK (`anc`), not a row gather (the gather
+                             cost 5.6 ms of the 13.2 ms G=4 K=5 step;
+                             model._attend_decode_flat_beam)
+  anc    [G, K, K, T] bool   ancestry: query beam i may read cache row r
+                             at position t iff its history wrote it
   xkv    [L, G, A, H*Dh]     int8 cross-KV + [L, G, A, H] scales — ONE
                              copy per group, shared by its K beams: the
                              decode step folds the beam dim into the flat
@@ -85,6 +91,7 @@ class BeamState(NamedTuple):
     temperature: jax.Array   # [G] f32 — 0 = beam, >0 = best-of sampling
     rng: jax.Array           # [G, K, 2] uint32 (sampling mode)
     done_row: jax.Array      # [G, K] bool (sampling mode per-row EOT)
+    anc: jax.Array           # [G, K, K, T] bool ancestry mask
 
 
 # `tokens` and `step` stay undonated: they are the host-readable tape behind
@@ -140,6 +147,7 @@ def init_state(cfg: WhisperConfig, n_groups: int, beam_size: int,
         temperature=jnp.zeros((G,), jnp.float32),
         rng=jnp.zeros((G, K, 2), jnp.uint32),
         done_row=jnp.zeros((G, K), bool),
+        anc=jnp.zeros((G, K, K, T), bool),
     )
 
 
@@ -272,6 +280,11 @@ def _prefill_group(cfg, params, state: BeamState, group, row_xkv, prompt,
         temperature=setg(state.temperature, temperature),
         rng=setg(state.rng, rng),
         done_row=setg(state.done_row, jnp.zeros((K,), bool)),
+        # Prompt rows are tiled identical; each beam's ancestry points at
+        # its own row for the prompt positions (equivalent content).
+        anc=setg(state.anc,
+                 jnp.eye(K, dtype=bool)[:, :, None]
+                 & (jnp.arange(T)[None, None, :] < prompt_len)),
     )
 
 
@@ -345,19 +358,19 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
     GK = G * K
     V = state.last_logits.shape[1]
     ids = jnp.arange(V)
-    if K * cfg.n_text_head <= 128:
-        # Grouped cross-attention: the K beams of each group read the
-        # group's single cross-KV copy once per step (decode cross_group).
+    grouped = K * cfg.n_text_head <= 128
+    if grouped:
+        # Ancestry-masked group step: shared cross-KV, no cache reorder
+        # (model.decode_beam_step).
         xkv = whisper.QuantKVCache(state.xkv_k, state.xkv_ks,
                                    state.xkv_v, state.xkv_vs)
-        cross_group = K
     else:
-        # K·H exceeds one lane tile: tile the group copies to GK rows
-        # once per dispatch (loop-invariant across the inner scan).
+        # K·H exceeds one lane tile: fall back to the parent-gather
+        # formulation with cross-KV tiled to GK rows once per dispatch
+        # (loop-invariant across the inner scan).
         rep = lambda a: jnp.repeat(a, K, axis=1)
         xkv = whisper.QuantKVCache(rep(state.xkv_k), rep(state.xkv_ks),
                                    rep(state.xkv_v), rep(state.xkv_vs))
-        cross_group = 1
 
     def one_step(state, _):
         live = state.active & ~state.finished                   # [G]
@@ -465,17 +478,35 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
         ts_sel = jax.tree.map(lambda n, o: jnp.where(upd, n, o), new_ts,
                               ts_old)
 
-        # ---- KV gather + one decode step for all rows -------------------
-        flat_parent = (parent_sel
-                       + jnp.arange(G)[:, None] * K).reshape(GK)
-        cache = whisper.KVCache(state.cache_k[:, flat_parent],
-                                state.cache_v[:, flat_parent])
-        feed = tok_sel.reshape(GK)
-        logits, cache = whisper.decode(cfg, params, feed[:, None],
-                                       jnp.repeat(pos_g, K), cache, xkv,
-                                       cross_group=cross_group)
+        # ---- one decode step for all rows -------------------------------
+        if grouped:
+            # Inherit the parent's ancestry (this step's visibility),
+            # then record each beam's own write at pos_g for the NEXT
+            # step. The cache itself is never permuted.
+            anc_att = jnp.take_along_axis(
+                state.anc, parent_sel[:, :, None, None], axis=1)
+            cache = whisper.KVCache(state.cache_k, state.cache_v)
+            logits3, cache = whisper.decode_beam_step(
+                cfg, params, tok_sel, pos_g, cache,
+                anc_att.reshape(G, K, K * T), xkv)
+            logits_flat = logits3.reshape(GK, V)
+            own = (jnp.eye(K, dtype=bool)[None, :, :, None]
+                   & (jnp.arange(T)[None, None, None, :]
+                      == pos_g[:, None, None, None]))
+            anc = keep(anc_att | own, state.anc)
+        else:
+            flat_parent = (parent_sel
+                           + jnp.arange(G)[:, None] * K).reshape(GK)
+            cache = whisper.KVCache(state.cache_k[:, flat_parent],
+                                    state.cache_v[:, flat_parent])
+            feed = tok_sel.reshape(GK)
+            logits, cache = whisper.decode(cfg, params, feed[:, None],
+                                           jnp.repeat(pos_g, K), cache,
+                                           xkv)
+            logits_flat = logits[:, -1]
+            anc = state.anc
         last_logits = jnp.where(liver[:, None],
-                                logits[:, -1].astype(jnp.float32),
+                                logits_flat.astype(jnp.float32),
                                 state.last_logits)
 
         # ---- stop conditions (per group; beam.py:112-119 for B=1) ------
@@ -497,7 +528,7 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
             ts_prevprev=ts_sel[1].reshape(G, K),
             ts_floor=ts_sel[2].reshape(G, K),
             step=step_new, last_logits=last_logits, finished=finished,
-            rng=n_rng, done_row=done_row), None
+            rng=n_rng, done_row=done_row, anc=anc), None
 
     state, _ = jax.lax.scan(one_step, state, None, length=inner_steps)
     return state

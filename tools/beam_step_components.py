@@ -151,6 +151,17 @@ def step_ablated(cfg, donated, kept, suppress_mask, *, inner_steps: int,
 
         if "gather" in ablate:
             cache = whisper.KVCache(state.cache_k, state.cache_v)
+        elif "onehot" in ablate:
+            # Permutation as a one-hot matmul: bit-exact (single nonzero
+            # coefficient per output row) and MXU/memory-bound instead of
+            # the slow axis-1 gather.
+            flat_parent = (parent_sel
+                           + jnp.arange(G)[:, None] * K).reshape(GK)
+            oh = jax.nn.one_hot(flat_parent, GK,
+                                dtype=state.cache_k.dtype)
+            perm = lambda b: jnp.einsum("gp,lptd->lgtd", oh, b)
+            cache = whisper.KVCache(perm(state.cache_k),
+                                    perm(state.cache_v))
         else:
             flat_parent = (parent_sel
                            + jnp.arange(G)[:, None] * K).reshape(GK)
@@ -184,6 +195,7 @@ VARIANTS = {
     "no_lsm": frozenset({"lsm"}),
     "no_topk": frozenset({"topk"}),
     "no_gather": frozenset({"gather"}),
+    "oh_gather": frozenset({"onehot"}),
     "decode_only": frozenset({"filter", "lsm", "topk", "gather"}),
 }
 
