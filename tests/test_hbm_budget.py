@@ -55,8 +55,12 @@ def test_state_bytes_scales_with_knobs(setup):
     # int8 self-cache halves the dominant bf16 self-cache read
     assert batcher.state_bytes(cfg, 8, max_len=128,
                                int8_self_cache=True) < base
-    # beam groups cost ~K× a greedy slot
-    assert beam_batcher.state_bytes(cfg, 8, 5, max_len=128) > 3 * base
+    # A K-beam group carries K beams of self-cache but shares ONE
+    # cross-KV copy (grouped flat cross-attention), so it costs more
+    # than a greedy slot yet strictly less than K greedy slots.
+    beam5 = beam_batcher.state_bytes(cfg, 8, 5, max_len=128)
+    assert base < beam5 < 5 * base
+    assert beam5 > beam_batcher.state_bytes(cfg, 8, 2, max_len=128)
 
 
 def test_refuses_oversized_slot_count(setup, monkeypatch):
