@@ -93,7 +93,7 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
     # beam switches (the row gather cost ~40% of the serving beam step;
     # tools/beam_step_components.py). Larger K falls back to tiling +
     # parent-gather.
-    grouped = K * cfg.n_text_head <= 128
+    grouped = whisper.beam_grouped_ok(cfg, K)
     if grouped:
         xkv = cross_kv
     elif isinstance(cross_kv, whisper.QuantKVCache):

@@ -509,6 +509,15 @@ def compute_cross_kv_quant(cfg: WhisperConfig, params: Params,
 LANE = 128
 
 
+def beam_grouped_ok(cfg, beam_size: int) -> bool:
+    """True when a K-beam group's K·H score rows fit one 128-lane tile,
+    i.e. the ancestry-masked grouped beam step (decode_beam_step) applies.
+    Both the one-shot beam loop and the serving beam batcher route through
+    this gate; larger K·H falls back to cross-KV tiling + parent-gather.
+    (A function, not an inline test, so tests can force the fallback.)"""
+    return beam_size * cfg.n_text_head <= LANE
+
+
 @functools.lru_cache(maxsize=8)
 def _bd_selector(n_head: int, head_dim: int) -> np.ndarray:
     """Block-diagonal selector [H*D, LANE]: column h is 1 over rows

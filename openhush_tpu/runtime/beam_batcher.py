@@ -358,7 +358,7 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
     GK = G * K
     V = state.last_logits.shape[1]
     ids = jnp.arange(V)
-    grouped = K * cfg.n_text_head <= 128
+    grouped = whisper.beam_grouped_ok(cfg, K)
     if grouped:
         # Ancestry-masked group step: shared cross-KV, no cache reorder
         # (model.decode_beam_step).

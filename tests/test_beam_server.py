@@ -154,6 +154,47 @@ def test_beam_group_length_penalty_matches_oneshot(setup):
     assert got_score == pytest.approx(ref_score, abs=1e-4)
 
 
+def test_beam_fallback_path_matches_grouped(setup, monkeypatch):
+    """K·H > one lane tile falls back to cross-KV tiling + parent-gather;
+    the two formulations must agree token-for-token. The tiny test config
+    always takes the grouped path, so force the gate off — both beam.py
+    and beam_batcher.py route through whisper.beam_grouped_ok. The gate is
+    not part of the jit cache key (it is derived from cfg/K in production),
+    so caches must be cleared around the forced-fallback traces."""
+    cfg, params, tok = setup
+    K = 3
+    xkv = _xkv_quant(cfg, params, seed=31)
+    max_new = 24
+    ref, ref_score, _ = _oneshot_beam(cfg, params, tok, xkv, beam_size=K,
+                                      use_timestamps=False, max_new=max_new)
+
+    monkeypatch.setattr(whisper, "beam_grouped_ok", lambda _cfg, _k: False)
+    jax.clear_caches()
+    try:
+        got, got_score, _ = _oneshot_beam(
+            cfg, params, tok, xkv, beam_size=K, use_timestamps=False,
+            max_new=max_new)
+        assert got == ref, "fallback one-shot diverged from grouped"
+        assert got_score == pytest.approx(ref_score, abs=1e-4)
+
+        prompt = tok.sot_sequence("en", "transcribe", timestamps=False)
+        suppress = jnp.asarray(decoding.build_suppress_mask(
+            tok, cfg, decoding.DecodingOptions()))
+        state = beam_batcher.init_state(cfg, n_groups=1, beam_size=K,
+                                        dtype=jnp.float32)
+        state = beam_batcher.admit(
+            cfg, params, state, jnp.int32(0), xkv,
+            jnp.asarray([prompt], jnp.int32), jnp.asarray(False),
+            prompt_len=len(prompt), max_new=jnp.int32(max_new))
+        state = _run_group_to_done(cfg, params, state, suppress, tok, 0)
+        assert bool(np.asarray(state.finished[0]))
+        got2, score2 = _harvest_group(state, tok, 0, len(prompt))
+        assert got2 == ref, "fallback batcher diverged from grouped"
+        assert score2 == pytest.approx(ref_score, abs=1e-4)
+    finally:
+        jax.clear_caches()   # drop the fallback-gated compilations
+
+
 def test_beam_sampling_rows_match_greedy_batcher(setup):
     """A T>0 group runs best-of-K independent sampling: with the same
     per-row RNG keys, each row must emit exactly the tokens of a greedy

@@ -68,7 +68,7 @@ def step_ablated(cfg, donated, kept, suppress_mask, *, inner_steps: int,
     ids = jnp.arange(V)
     xkv = whisper.QuantKVCache(state.xkv_k, state.xkv_ks,
                                state.xkv_v, state.xkv_vs)
-    cross_group = K if K * cfg.n_text_head <= 128 else 1
+    cross_group = K if whisper.beam_grouped_ok(cfg, K) else 1
 
     def one_step(state, _):
         live = state.active & ~state.finished

@@ -55,4 +55,8 @@ run phases_rung32 1800 env OPENHUSH_BENCH_INT8_W=1 \
 # the 6.3 GB quantized cross-KV); 40 fits with margin.
 run phases_rung40 2400 env OPENHUSH_BENCH_INT8_W=1 \
   OPENHUSH_BENCH_INT8_CACHE=1 python tools/bench_phases.py large-v3 40 128
+# 6. beam step ablation: records the ancestry-masked grouped-attention
+#    beam decode step time (the bench beam section gives x-realtime; this
+#    gives the per-step device time and where it goes)
+run beam_components 1800 python tools/beam_step_components.py
 echo "=== battery complete; logs in $OUT ==="
