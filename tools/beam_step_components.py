@@ -7,9 +7,12 @@ lax.scan dispatch, so per-step times here are true device time (the
 standalone-op route is useless: sub-ms ops disappear under the ~3 ms
 axon-tunnel dispatch floor).
 
-Variants (each a structural copy of _step_impl's one_step with one piece
-ablated — beam_batcher.py:347-490 is the source of truth):
-  full        complete step
+Variants (each a structural copy of the GATHER-formulation step with one
+piece ablated; `production` times the real beam_batcher.step, which since
+round 4 is the ancestry-masked grouped step — beam_batcher.py is the
+source of truth):
+  production  the real serving step (ancestry-masked, no cache reorder)
+  full        complete gather-formulation step
   no_filter   logit filters (suppression/timestamp grammar) skipped
   no_lsm      log_softmax replaced by raw logits (candidate math bogus,
               shapes identical)
@@ -189,7 +192,13 @@ def step_ablated(cfg, donated, kept, suppress_mask, *, inner_steps: int,
     return state
 
 
+# "production" is not an ablation: it times the REAL beam_batcher.step
+# (since round 4 that is the ancestry-masked grouped step for K·H ≤ 128 —
+# model.decode_beam_step — which this file's gather-formulation copy
+# predates). Keep both: production is the number that ships; the ablated
+# gather formulation decomposes where the old cost went.
 VARIANTS = {
+    "production": None,
     "full": frozenset(),
     "no_filter": frozenset({"filter"}),
     "no_lsm": frozenset({"lsm"}),
@@ -239,11 +248,16 @@ def main() -> None:
         abl = VARIANTS[name]
         state = fresh_state()
 
-        def dispatch(s):
-            donated, kept = beam_batcher._pack(s)
-            return step_ablated(cfg, donated, kept, suppress,
-                                inner_steps=args.inner, ablate=abl,
-                                params=params)
+        if abl is None:           # production: the real serving step
+            def dispatch(s):
+                return beam_batcher.step(cfg, params, s, suppress,
+                                         inner_steps=args.inner)
+        else:
+            def dispatch(s, abl=abl):
+                donated, kept = beam_batcher._pack(s)
+                return step_ablated(cfg, donated, kept, suppress,
+                                    inner_steps=args.inner, ablate=abl,
+                                    params=params)
 
         t0 = time.time()
         state = dispatch(state)
