@@ -82,3 +82,18 @@ def test_cross_group_validation():
     with pytest.raises(ValueError, match="128"):
         whisper.decode(cfg, params, toks_b, jnp.zeros((big,), jnp.int32),
                        cache_b, xkv_1, cross_group=big)
+
+
+def test_beam_grouped_gate_per_config():
+    """The grouped-step gate must track K·H ≤ 128 for the real model
+    family (beam.py and beam_batcher.py both route through it): large-v3
+    has 20 text heads → grouped through K=6, fallback from K=7; tiny has
+    6 heads → grouped far past any practical beam width."""
+    large = get_config("large-v3")
+    assert large.n_text_head == 20
+    assert whisper.beam_grouped_ok(large, 5)       # the default K
+    assert whisper.beam_grouped_ok(large, 6)
+    assert not whisper.beam_grouped_ok(large, 7)   # 140 lanes > 128
+    tiny = get_config("tiny")
+    assert whisper.beam_grouped_ok(tiny, 21)       # 126 ≤ 128
+    assert not whisper.beam_grouped_ok(tiny, 22)
