@@ -663,6 +663,13 @@ def main() -> None:
                         out["first_partial_sat_p95_ms"] = (
                             sat["first_partial_p95_ms"])
                 finally:
+                    # loaded() never stops a caller-owned server (so the
+                    # saturation pass reuses the warm buckets); stop it
+                    # here before dropping its device state.
+                    try:
+                        probe_server.stop()
+                    except Exception:  # noqa: BLE001
+                        pass
                     probe_server.state = None
                     import gc
                     gc.collect()

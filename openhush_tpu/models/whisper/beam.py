@@ -102,12 +102,17 @@ def beam_search_loop(cfg: WhisperConfig, params, cross_kv, prompt,
     else:
         xkv = whisper.KVCache(tile(cross_kv.k), tile(cross_kv.v))
     # Ancestry: each tiled prompt row belongs to its own beam. Tc is the
-    # CACHE length (n_text_ctx), not the token-buffer length L.
+    # CACHE length (n_text_ctx), not the token-buffer length L. The
+    # fallback (gather) formulation never reads it — carry a scalar
+    # placeholder there instead of a dead B·K²·Tc bool tensor.
     Tc = cache.k.shape[2]
-    anc0 = jnp.broadcast_to(
-        jnp.eye(K, dtype=bool)[None, :, :, None]
-        & (jnp.arange(Tc)[None, None, None, :] < prompt_len),
-        (B, K, K, Tc))
+    if grouped:
+        anc0 = jnp.broadcast_to(
+            jnp.eye(K, dtype=bool)[None, :, :, None]
+            & (jnp.arange(Tc)[None, None, None, :] < prompt_len),
+            (B, K, K, Tc))
+    else:
+        anc0 = jnp.zeros((), bool)
 
     tokens = jnp.full((B, K, L), eot, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(

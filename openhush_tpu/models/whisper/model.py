@@ -1121,18 +1121,17 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
         return _decode_flat_ro(cfg, params, x, pos, cache, cross_kv,
                                cross_group)
 
-    decode_step = S == 1          # single-token AR step → flat attention
+    # Everything below is the LONG-PREFILL path (S·H > 128): the S=1 AR
+    # step and all short blocks returned through _decode_flat_ro above,
+    # so this body only ever sees write-then-attend prefills on the
+    # head-view attention.
     key_idx = jnp.arange(max_len)[None, :]          # [1, max_len]
-    if decode_step:
-        # Key j visible iff j <= pos: [B, max_len] or [1, max_len].
-        self_mask = (key_idx <= (pos[:, None] if per_row else pos))
+    q_idx = jnp.arange(S)[:, None]                  # [S, 1]
+    if per_row:
+        self_mask = (key_idx[None] <=
+                     (pos[:, None, None] + q_idx[None]))[:, None]
     else:
-        q_idx = jnp.arange(S)[:, None]              # [S, 1]
-        if per_row:
-            self_mask = (key_idx[None] <=
-                         (pos[:, None, None] + q_idx[None]))[:, None]
-        else:
-            self_mask = (key_idx <= pos + q_idx)[None, None]
+        self_mask = (key_idx <= pos + q_idx)[None, None]
 
     def _update_cache(c, new):
         """c [B,T,...] ← new [B,S,...] at per-row or shared offset.
@@ -1179,45 +1178,22 @@ def decode(cfg: WhisperConfig, params: Params, tokens: jax.Array,
             k_cache = _update_cache(k_cache, k_new)
             v_cache = _update_cache(v_cache, v_new)
             self_ks = self_vs = None
-        if decode_step:
-            attn = _attend_decode_flat(q[:, 0], k_cache, v_cache,
-                                       self_mask, n_head,
-                                       ks=self_ks, vs=self_vs)[:, None]
-        elif S * n_head <= 128:
-            # Small blocks (speculative verify, short prompt prefill):
-            # the flat S·H-lane dot — per-query math identical to the
-            # S=1 decode step, cache read once.
-            attn = _attend_decode_flat_multi(q, k_cache, v_cache,
-                                             self_mask, n_head,
-                                             ks=self_ks, vs=self_vs)
-        else:
-            attn = _attend_views(
-                q.reshape(B, S, n_head, dh),
-                k_cache.reshape(B, max_len, n_head, dh),
-                v_cache.reshape(B, max_len, n_head, dh), self_mask,
-                ks=self_ks, vs=self_vs)
+        attn = _attend_views(
+            q.reshape(B, S, n_head, dh),
+            k_cache.reshape(B, max_len, n_head, dh),
+            v_cache.reshape(B, max_len, n_head, dh), self_mask,
+            ks=self_ks, vs=self_vs)
         x = x + _mm(attn, lp["o_w"]) + lp["o_b"]
         # --- cross-attention over audio features ---
         h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
         xq = _mm(h, lp["xq_w"]) + lp["xq_b"]                 # [B, S, HD]
         T_a = xk.shape[1]
-        if decode_step:
-            attn = _attend_decode_flat(
-                xq[:, 0], xk, xv, None, n_head,
-                ks=xks if quantized else None,
-                vs=xvs if quantized else None)[:, None]
-        elif S * n_head <= 128:
-            attn = _attend_decode_flat_multi(
-                xq, xk, xv, None, n_head,
-                ks=xks if quantized else None,
-                vs=xvs if quantized else None)
-        else:
-            attn = _attend_views(
-                xq.reshape(B, S, n_head, dh),
-                xk.reshape(B, T_a, n_head, dh),
-                xv.reshape(B, T_a, n_head, dh), None,
-                ks=xks if quantized else None,
-                vs=xvs if quantized else None)
+        attn = _attend_views(
+            xq.reshape(B, S, n_head, dh),
+            xk.reshape(B, T_a, n_head, dh),
+            xv.reshape(B, T_a, n_head, dh), None,
+            ks=xks if quantized else None,
+            vs=xvs if quantized else None)
         x = x + _mm(attn, lp["xo_w"]) + lp["xo_b"]
         # --- MLP ---
         h = layer_norm(x, lp["ln3_scale"], lp["ln3_bias"])

@@ -163,8 +163,19 @@ def state_bytes(cfg: WhisperConfig, n_groups: int, beam_size: int,
     shapes = jax.eval_shape(functools.partial(
         init_state, cfg, n_groups, beam_size, dtype=dtype,
         max_len=max_len, audio_ctx=audio_ctx))
-    return sum(int(np.prod(x.shape)) * x.dtype.itemsize
-               for x in jax.tree.leaves(shapes))
+    total = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                for x in jax.tree.leaves(shapes))
+    if not whisper.beam_grouped_ok(cfg, beam_size):
+        # Fallback formulation (K·H > one lane tile): every step dispatch
+        # materializes a GK-tiled int8 cross-KV TRANSIENT alongside the
+        # stored per-group copy (jnp.repeat in _step_impl) — peak memory
+        # the stored-state walk above cannot see. Count the tiled copy.
+        xkv_fields = ("xkv_k", "xkv_ks", "xkv_v", "xkv_vs")
+        xkv_bytes = sum(
+            int(np.prod(getattr(shapes, f).shape))
+            * getattr(shapes, f).dtype.itemsize for f in xkv_fields)
+        total += xkv_bytes * beam_size
+    return total
 
 
 def admit(cfg: WhisperConfig, params, state: BeamState, group: jax.Array,

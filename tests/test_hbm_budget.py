@@ -118,3 +118,23 @@ def test_budgeter_disabled_when_capacity_unknown(setup, monkeypatch):
     srv = EngineServer(cfg, params, n_slots=8, max_decode_len=128,
                        tokenizer=tok, dtype=jnp.float32, **NO_GUARDS)
     assert srv.n_slots == 8
+
+
+def test_fallback_state_bytes_counts_tiled_xkv_transient(setup,
+                                                         monkeypatch):
+    """K·H > one lane tile: the gather-formulation step materializes a
+    K-tiled cross-KV transient inside every dispatch (jnp.repeat in
+    _step_impl) that a walk of the STORED state cannot see; the budgeter
+    must count it or it admits group counts that OOM on the first step."""
+    cfg, _, _ = setup
+    K = 5
+    grouped = beam_batcher.state_bytes(cfg, 4, K, max_len=128)
+    state = beam_batcher.init_state(cfg, 4, K, max_len=128)
+    assert grouped == _nbytes(state)        # grouped: stored state only
+    xkv_bytes = _nbytes((state.xkv_k, state.xkv_ks,
+                         state.xkv_v, state.xkv_vs))
+    monkeypatch.setattr(whisper, "beam_grouped_ok",
+                        lambda _cfg, _k: False)
+    fallback = beam_batcher.state_bytes(cfg, 4, K, max_len=128)
+    # the tiled transient is exactly K extra cross-KV copies
+    assert fallback == grouped + K * xkv_bytes

@@ -192,7 +192,10 @@ def loaded(model: str = "large-v3", background: int = 8,
     JSON-ready dict (None on timeout); bench.py merges it into the
     round's metric line. Pass `server` to reuse an existing EngineServer
     (it must have ≥ background+2 slots, harvest_every=1 for honest
-    first-token timestamps)."""
+    first-token timestamps); the caller keeps ownership — loaded() will
+    warmup()/start() it if it is not running but never stops it, so
+    back-to-back probes (bench's realtime + saturation passes) skip the
+    multi-minute bucket re-warmup."""
     import threading
 
     import jax
@@ -207,7 +210,8 @@ def loaded(model: str = "large-v3", background: int = 8,
     print(f"null dispatch round-trip: median {d0_med:.0f} ms, "
           f"p90 {d0_p90:.0f} ms")
 
-    if server is None:
+    owns_server = server is None
+    if owns_server:
         cfg = get_config(model)
         params = whisper.init_params(cfg, jax.random.PRNGKey(0),
                                      dtype=jnp.bfloat16)
@@ -299,7 +303,8 @@ def loaded(model: str = "large-v3", background: int = 8,
         stop.set()
         for t in feeders:
             t.join(timeout=5)
-        server.stop()
+        if owns_server:
+            server.stop()
 
     lat.sort()
     print("samples (ms, sorted): "
