@@ -505,16 +505,18 @@ def main() -> None:
             # Serving throughput rides transient host/tunnel state: runs
             # of byte-identical serving code measured 259-353x while the
             # raw device loop held ±0.5% — the scatter is the relay, not
-            # the path. The official number is the BEST of N short runs
-            # (all samples recorded); the environment's bad minutes are
-            # not a property of the serving code.
+            # the path. The official number is the MEDIAN of N short runs
+            # (the defensible statistic — max-of-N is biased upward,
+            # ADVICE r4); the best sample and the full list are recorded
+            # alongside so the scatter stays visible.
             serve_runs = []
             for _ in range(max(1, int(os.environ.get(
                     "OPENHUSH_BENCH_SERVE_RUNS", "3")))):
                 sx, stps, _ = serving_bench(cfg, params)
                 serve_runs.append((sx, stps))
-            serving_x, tps = max(serve_runs)
+            serving_x, tps = sorted(serve_runs)[len(serve_runs) // 2]
             out["serving_x_realtime"] = round(serving_x, 2)
+            out["serving_x_best"] = round(max(serve_runs)[0], 2)
             out["serving_frac_of_raw"] = round(serving_x / raw_serve, 3)
             out["serving_tokens_per_sec"] = round(tps, 1)
             if len(serve_runs) > 1:

@@ -195,7 +195,7 @@ class BeamEngineServer(EngineServer):
                                          or now) - info.submitted_at,
                     latency=now - info.submitted_at,
                     temperature=temp, compression_ratio=cr,
-                    skipped_silence=skipped)
+                    skipped_silence=skipped, language=info.language)
                 q = self._results.get(info.session_id)
                 if q is not None:
                     q.put(result)

@@ -46,6 +46,7 @@ class WindowResult:
     temperature: float = 0.0      # ladder temperature the window finished at
     compression_ratio: float = 0.0
     skipped_silence: bool = False  # no_speech gate fired → empty result
+    language: str = "en"           # resolved (possibly auto-detected)
 
 
 def compression_ratio(text: str) -> float:
@@ -146,6 +147,7 @@ class _Pending:
     task: str
     timestamps: bool
     submitted_at: float
+    first: bool = False     # session's first window → priority admission
 
 
 @dataclasses.dataclass
@@ -190,7 +192,8 @@ class EngineServer:
                  spec_policy: str = "auto",
                  spec_force_accept: bool = False,
                  harvest_every: int = 1,
-                 deep_factor: int = 4):
+                 deep_factor: int = 4,
+                 reserve_first_window: Optional[bool] = None):
         self.cfg = cfg
         self.params = params
         self.n_slots = n_slots
@@ -324,6 +327,30 @@ class EngineServer:
         # which includes a host sync): the scheduler turn only installs.
         # Entries: (job, info, batched_xkv, row).
         self._ready: queue.Queue[tuple] = queue.Queue()
+        # First-window QoS (round-4 gap: saturation first-partial p50
+        # 1632 ms with no admission lever): a session's FIRST window —
+        # the one behind the product's first-partial promise (the daemon
+        # opens a fresh session per recording interaction,
+        # runtime/daemon.py:242) — lands on this priority queue, is
+        # admitted ahead of resubmissions and outside
+        # max_admissions_per_turn, and (reserve) one slot is held back
+        # from non-first windows WHILE such a window is in flight, so a
+        # joiner under saturation waits at most one harvest, never a
+        # full drain. The reserve is dynamic — it costs nothing at
+        # steady state with no joiners (occupancy returns to n_slots the
+        # moment every first window is admitted) and nothing for
+        # all-first traffic (batch transcription: first windows may fill
+        # every slot).
+        if reserve_first_window is None:
+            reserve_first_window = n_slots >= 4
+        self.reserve_first_window = bool(reserve_first_window)
+        self._ready_first: queue.Queue[tuple] = queue.Queue()
+        self._served: set[int] = set()   # sessions with ≥1 admitted window
+        # Sessions whose first window is submitted but not yet admitted:
+        # while nonempty, the occupancy reserve is active and deep
+        # stepping is suspended (a deep scan would stall the joiner's
+        # admission by deep_factor× one dispatch).
+        self._first_pending: set[int] = set()
         # Windows submitted but not yet landed on _ready (in _pending OR
         # mid-prep). Incremented in submit_window BEFORE the _pending.put
         # and decremented only after _prepare_many finishes, so the
@@ -364,17 +391,25 @@ class EngineServer:
     def close_session(self, session_id: int) -> None:
         with self._lock:
             self._results.pop(session_id, None)
+            self._served.discard(session_id)
+            self._first_pending.discard(session_id)
 
     def submit_window(self, session_id: int, audio: np.ndarray,
                       window_id: int = 0, language: str = "en",
                       task: str = "transcribe",
                       timestamps: bool = True) -> None:
         """Queue one ≤30 s audio window for transcription."""
+        with self._lock:
+            first = (session_id not in self._served
+                     and session_id not in self._first_pending)
+            if first:
+                self._first_pending.add(session_id)
         with self._count_lock:
             self._unlanded += 1
         self._pending.put(_Pending(session_id, window_id,
                                    np.asarray(audio, np.float32), language,
-                                   task, timestamps, time.monotonic()))
+                                   task, timestamps, time.monotonic(),
+                                   first=first))
 
     def poll(self, session_id: int, timeout: Optional[float] = None
              ) -> Optional[WindowResult]:
@@ -407,7 +442,8 @@ class EngineServer:
                 if t != self.tokenizer.special.eot]
 
     def queue_depth(self) -> int:
-        return self._unlanded + self._ready.qsize() + len(self._slots)
+        return (self._unlanded + self._ready.qsize()
+                + self._ready_first.qsize() + len(self._slots))
 
     def warmup(self) -> None:
         """Compile every admission shape up front: one synchronous round
@@ -512,7 +548,8 @@ class EngineServer:
             with self._lock:
                 occupied = bool(self._slots)
             if not occupied:
-                waiting = self._ready.qsize() + self._unlanded
+                waiting = (self._ready.qsize() + self._ready_first.qsize()
+                           + self._unlanded)
                 if waiting == 0:
                     # Fully idle drain: traffic went quiet, forget the
                     # concurrency evidence so a later lone window (PTT
@@ -523,20 +560,36 @@ class EngineServer:
         with self._lock:
             n_active = len(self._slots)
         if n_active:
-            # Deep stepping: with every slot occupied nothing can be
-            # admitted until a harvest frees one, so run a deep_factor×
-            # longer scan per dispatch and harvest each turn (same token
-            # cadence between harvests, ~2.5x fewer host dispatches).
-            deep = (n_active == self.n_slots and self.deep_factor > 1
-                    and self.supports_deep)
+            # Deep stepping: when no further admission is possible until
+            # a harvest frees a slot, run a deep_factor× longer scan per
+            # dispatch and harvest each turn (same token cadence between
+            # harvests, ~2.5x fewer host dispatches). Never go deep
+            # while a session's first window is in flight (submitted →
+            # admitted): its admission would stall behind the longer
+            # scan — the exact QoS lever the reserve exists for.
+            deep = (n_active >= self._regular_cap()
+                    and not self._first_pending
+                    and self.deep_factor > 1 and self.supports_deep)
             self._step_state(deep=deep)
             self._turn += 1
             if (deep or self._turn % self.harvest_every == 0
-                    or (not self._ready.empty()
+                    or ((not self._ready.empty()
+                         or not self._ready_first.empty())
                         and not self._free_slots())):
                 self._harvest()
             worked = True
         return worked
+
+    def _regular_cap(self) -> int:
+        """Max occupancy non-first windows may fill: one slot stays in
+        reserve WHILE a session's first window is in flight (submitted
+        but not yet admitted) — so the reserve is free at steady state
+        with no joiners, and the held-back slot goes to the joiner, not
+        the next resubmission, the moment a harvest frees one."""
+        if (self.reserve_first_window and self.n_slots > 1
+                and self._first_pending):
+            return self.n_slots - 1
+        return self.n_slots
 
     # -- internals ---------------------------------------------------------------
 
@@ -611,15 +664,22 @@ class EngineServer:
 
     def _admit_pending(self) -> bool:
         """Install prepared windows into free slots — at most
-        `max_admissions_per_turn` per scheduler turn while other sessions
-        are decoding, so the active decode clock never stalls more than
-        ~one admit dispatch between step dispatches (burst joins spread
-        across turns instead of bunching). With an idle batcher all free
-        slots fill at once."""
+        `max_admissions_per_turn` non-first windows per scheduler turn
+        while other sessions are decoding, so the active decode clock
+        never stalls more than ~one admit dispatch between step
+        dispatches (burst joins spread across turns instead of
+        bunching). With an idle batcher all free slots fill at once.
+
+        QoS ordering: a session's FIRST window (priority queue) is
+        admitted ahead of any resubmission, outside the per-turn budget,
+        and may take the reserved slot non-first windows must leave free
+        (_regular_cap) — so a new session's first partial never waits a
+        full batch drain under saturation."""
         with self._lock:
             n_active = len(self._slots)
         budget = self.max_admissions_per_turn if n_active else self.n_slots
-        if self.spec_policy == "auto" and self._spec_mode:
+        spec_limited = self.spec_policy == "auto" and self._spec_mode
+        if spec_limited:
             # Spec loses at batch (HBM-amortized plain path: accept-1.0
             # endpoint 190x vs plain 250x), so auto NEVER builds one: a
             # spec batcher admits only into emptiness. A window that
@@ -627,26 +687,48 @@ class EngineServer:
             # it so the NEXT re-pick (occupancy 0 in run_once) chooses
             # the plain step even if that window is the only one waiting
             # by then. Without the flag, two alternating streaming
-            # sessions each look like "exactly 1 waiting" at every drain
-            # and lock into serialized single-stream speculation; with
-            # it they converge to the plain batcher after one blocked
-            # wait.
-            if n_active and (self._ready.qsize() + self._unlanded) > 0:
+            # sessions each see "exactly 1 waiting" at every drain and
+            # lock into serialized single-stream speculation; with it
+            # they converge to the plain batcher after one blocked wait.
+            if n_active and (self._ready.qsize() + self._ready_first.qsize()
+                             + self._unlanded) > 0:
                 self._spec_blocked = True
             budget = min(budget, max(0, 1 - n_active))
         admitted = False
         picked = []            # (slot, info, xkv, row, dxkv)
-        for slot in self._free_slots():
-            if budget <= 0:
+        free = self._free_slots()
+        f = 0
+        # First windows: every free slot, no per-turn budget (the
+        # spec-auto total cap still applies — a spec batch stays size 1).
+        while f < len(free) and not (spec_limited and budget <= 0):
+            try:
+                job, info, xkv, row, dxkv = self._ready_first.get_nowait()
+            except queue.Empty:
                 break
+            picked.append((free[f], info, xkv, row, dxkv))
+            f += 1
+            if spec_limited:
+                budget -= 1
+            with self._lock:
+                self._served.add(job.session_id)
+                self._first_pending.discard(job.session_id)
+            log.debug("admitting session %d FIRST window %d into slot %d",
+                      job.session_id, job.window_id, free[f - 1])
+        # Non-first windows: per-turn budget + the occupancy reserve.
+        cap = self._regular_cap()
+        while (f < len(free) and budget > 0
+               and n_active + len(picked) < cap):
             try:
                 job, info, xkv, row, dxkv = self._ready.get_nowait()
             except queue.Empty:
                 break
-            picked.append((slot, info, xkv, row, dxkv))
+            picked.append((free[f], info, xkv, row, dxkv))
+            f += 1
             budget -= 1
+            with self._lock:
+                self._served.add(job.session_id)
             log.debug("admitting session %d window %d into slot %d",
-                      job.session_id, job.window_id, slot)
+                      job.session_id, job.window_id, free[f - 1])
         # Windows prepared in the same batch (same xkv buffers) install
         # in ONE dispatch (batcher.admit_many) — a join burst costs one
         # admit instead of one per window. Prompt lengths are computed
@@ -685,6 +767,14 @@ class EngineServer:
         per-row inside the admit kernel."""
         try:
             self._prepare_many_inner(jobs)
+        except Exception:
+            # Dropped windows must not hold the first-window reserve
+            # (or suspend deep stepping) forever.
+            with self._lock:
+                for job in jobs:
+                    if job.first:
+                        self._first_pending.discard(job.session_id)
+            raise
         finally:
             # Landed on _ready (or dropped on exception): either way the
             # batch leaves the _unlanded count. Decrementing AFTER the
@@ -725,7 +815,8 @@ class EngineServer:
                              job.submitted_at, time.monotonic(),
                              language=language, task=job.task,
                              timestamps=job.timestamps, temp_idx=0)
-            self._ready.put((job, info, xkv, j, dxkv))
+            dest = self._ready_first if job.first else self._ready
+            dest.put((job, info, xkv, j, dxkv))
 
     def _install(self, slot: int, info: _SlotInfo, xkv=None,
                  row: int = 0, dxkv=None) -> None:
@@ -861,7 +952,7 @@ class EngineServer:
                                          or now) - info.submitted_at,
                     latency=now - info.submitted_at,
                     temperature=temp, compression_ratio=cr,
-                    skipped_silence=skipped)
+                    skipped_silence=skipped, language=info.language)
                 q = self._results.get(info.session_id)
                 if q is not None:
                     q.put(result)

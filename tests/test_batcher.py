@@ -609,3 +609,83 @@ def test_deep_stepping_token_exact(setup):
     plain = run(1)
     deep = run(4)
     assert plain == deep
+
+
+def test_first_window_qos_priority_and_reserve(setup):
+    """First-window QoS (round-4 saturation gap): a NEW session's first
+    window is admitted ahead of already-queued resubmissions; the
+    occupancy reserve is active exactly while a first window is in
+    flight and costs nothing at steady state with no joiners."""
+    cfg, params, tok = setup
+    server = EngineServer(cfg, params, n_slots=4, inner_steps=2,
+                          dtype=jnp.float32, tokenizer=tok,
+                          max_admissions_per_turn=4,
+                          reserve_first_window=True, **NO_GUARDS)
+    rng = np.random.default_rng(11)
+    audio = (0.2 * rng.standard_normal(16000)).astype(np.float32)
+
+    # 4 veteran sessions stream their first windows to completion.
+    vets = [server.open_session() for _ in range(4)]
+    for s in vets:
+        server.submit_window(s, audio, window_id=0)
+    done = set()
+    for _ in range(400):
+        server.run_once()
+        for s in vets:
+            if server.poll(s) is not None:
+                done.add(s)
+        if len(done) == 4:
+            break
+    assert len(done) == 4
+    assert not server._first_pending
+
+    # Reserve is inactive with no joiner: resubmissions fill ALL slots.
+    assert server._regular_cap() == 4
+    for s in vets:
+        server.submit_window(s, audio, window_id=1)
+    server.run_once()
+    assert len(server._slots) == 4
+
+    # The reserve activates the moment a first window is submitted.
+    newcomer = server.open_session()
+    server.submit_window(newcomer, audio, window_id=0)
+    assert server._regular_cap() == 3
+
+    # Queue one more resubmission per vet BEHIND the newcomer's first
+    # window, then run to the next slot-free event: the newcomer must be
+    # admitted ahead of the earlier-queued resubmissions.
+    for s in vets:
+        server.submit_window(s, audio, window_id=2)
+    for _ in range(400):
+        server.run_once()
+        with server._lock:
+            sessions = {i.session_id for i in server._slots.values()}
+        if newcomer in sessions:
+            break
+    assert newcomer in sessions
+    # The newcomer took a slot some resubmission wanted: not all 4 vet
+    # window-2 resubmissions can be in flight alongside it.
+    with server._lock:
+        vet_w2 = sum(1 for i in server._slots.values()
+                     if i.session_id in vets and i.window_id == 2)
+    assert vet_w2 <= 3
+    # First window admitted → reserve released.
+    assert not server._first_pending
+    assert server._regular_cap() == 4
+
+    # Drain everything.
+    outstanding = {newcomer: 1}
+    for s in vets:
+        outstanding[s] = 2
+    for _ in range(1200):
+        server.run_once()
+        for s in list(outstanding):
+            while server.poll(s) is not None:
+                outstanding[s] -= 1
+            if outstanding[s] == 0:
+                del outstanding[s]
+        if not outstanding:
+            break
+    assert not outstanding
+    for s in vets + [newcomer]:
+        server.close_session(s)
