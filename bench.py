@@ -343,6 +343,109 @@ def serving_bench(cfg, params, *, draft=None, k_spec=4,
     return audio_secs / wall, total_tokens / wall, accept
 
 
+def longform_bench(cfg, params, *, single_secs=None, n_files=None,
+                   file_secs=None):
+    """END-TO-END PRODUCT PATH (VERDICT r4 next #1): long-form audio
+    through the real transcribe pipeline — fused mel frontend → encoder →
+    seek loop → timestamp-pair segment parsing → host-side result
+    assembly — with ALL host overheads on the clock. Two configs:
+
+    - single: one file through WhisperEngine.transcribe, the exact CLI
+      single-file path (reference worked example: 1847 s in 72.36 s =
+      25.5x realtime, /root/reference/wiki/User-Guide.md:650-671).
+    - batched: N files' seek loops concurrently over one
+      continuous-batching server (runtime/longform.py) — the
+      `openhush transcribe *.wav` path.
+
+    Random-weight accommodations, both documented in the output:
+    quality guards pinned off (random weights score avg_logprob ≈ -log V,
+    which would run the 6-temperature ladder on EVERY window — real
+    weights don't); conditioning off (variable previous-text prompt
+    lengths would recompile the decode program per window; fixed-shape
+    prompts are the TPU-native trade, like whisper.cpp's no_context);
+    per-window decode budget = DECODE_STEPS like every other section.
+    If random-weight timestamps make the seek advance degenerate
+    (< ~7.5 s/window on a 60 s probe), the measured runs fall back to
+    without_timestamps=True and say so.
+
+    Returns a dict of longform_* metrics."""
+    from openhush_tpu.runtime import engine as engine_mod
+    from openhush_tpu.runtime import longform
+    from openhush_tpu.runtime.engine import WhisperEngine
+
+    engine_mod.TEMPERATURES = (0.0,)
+    engine_mod.LOGPROB_THRESHOLD = -1e9
+    engine_mod.NO_SPEECH_THRESHOLD = 2.0
+
+    single_secs = single_secs or int(os.environ.get(
+        "OPENHUSH_BENCH_LONGFORM_SECS", "240"))
+    n_files = n_files or int(os.environ.get(
+        "OPENHUSH_BENCH_LONGFORM_FILES", str(SERVE_SLOTS)))
+    file_secs = file_secs or int(os.environ.get(
+        "OPENHUSH_BENCH_LONGFORM_FILE_SECS", "120"))
+
+    def wav(secs, seed):
+        r = np.random.default_rng(seed)
+        return (0.1 * r.standard_normal(int(16000 * secs))
+                ).astype(np.float32)
+
+    eng = WhisperEngine(MODEL, params=params, allow_random_init=True,
+                        language="en", quantize_weights=False)
+    out = {"longform_conditioning": "off",
+           "longform_decode_budget": DECODE_STEPS}
+
+    # 60 s probe: compiles the one-shot decode programs outside the timed
+    # run AND checks the random-weight seek advance isn't degenerate.
+    probe = eng.transcribe(wav(60, 100), language="en",
+                           condition_on_previous_text=False,
+                           max_new_tokens=DECODE_STEPS)
+    # 60 s is 2 ideal windows; >8 means random-weight timestamps advance
+    # the seek <7.5 s/window on average — fall back to notimestamps so
+    # the measurement stays bounded, and say so.
+    timestamps = True
+    if probe.windows > 8:
+        timestamps = False
+        out["longform_timestamps"] = "degenerate-with-random-weights"
+    out["longform_probe_windows_60s"] = probe.windows
+
+    t0 = time.perf_counter()
+    res = eng.transcribe(wav(single_secs, 101), language="en",
+                         condition_on_previous_text=False,
+                         without_timestamps=not timestamps,
+                         max_new_tokens=DECODE_STEPS)
+    wall = time.perf_counter() - t0
+    out["longform_single_x_realtime"] = round(single_secs / wall, 2)
+    out["longform_single_secs"] = single_secs
+    out["longform_single_windows"] = res.windows
+
+    # Batched across files: the server batches in-flight windows.
+    server = longform.make_server(
+        cfg, params, eng.tokenizer, n_files=n_files,
+        max_new_tokens=DECODE_STEPS,
+        inner_steps=8, logprob_threshold=-1e9, no_speech_threshold=2.0,
+        harvest_every=int(os.environ.get("OPENHUSH_BENCH_HARVEST", "4")))
+    warm = [wav(35, 200 + i) for i in range(min(n_files, server.n_slots))]
+    longform.transcribe_files(server, warm, language="en",
+                              timestamps=timestamps)
+    audios = [wav(file_secs, 300 + i) for i in range(n_files)]
+    t0 = time.perf_counter()
+    outs = longform.transcribe_files(server, audios, language="en",
+                                     timestamps=timestamps)
+    wall = time.perf_counter() - t0
+    total = n_files * file_secs
+    out["longform_batch_windows"] = sum(o.windows for o in outs)
+    out["longform_batch_x_realtime"] = round(total / wall, 2)
+    out["longform_batch_files"] = n_files
+    out["longform_batch_total_secs"] = total
+    # Reference's published long-form workload: 1847 s in 72.36 s.
+    out["longform_vs_ref_worked_example"] = round(
+        (total / wall) / (1847.0 / 72.36), 2)
+    server.state = None
+    import gc
+    gc.collect()
+    return out
+
+
 def beam_serving_bench(cfg, params, *, beam_size=5, n_groups=None,
                        n_windows=None):
     """Beam-search SERVING throughput (VERDICT r3 #4): G concurrent K-beam
@@ -551,6 +654,19 @@ def main() -> None:
             if time.monotonic() > deadline:
                 raise TimeoutError("bench budget exhausted after int8-rung "
                                    "serving (degraded dispatch latency)")
+            if os.environ.get("OPENHUSH_BENCH_LONGFORM", "1") == "1":
+                # The product path end-to-end (VERDICT r4 next #1): the
+                # CLI seek loop, single-stream and batched across files,
+                # vs the reference's published 1847 s-in-72.36 s example.
+                try:
+                    out.update(longform_bench(cfg, params))
+                    persist(out)
+                except Exception as e:  # noqa: BLE001 — later stages run
+                    out["longform_error"] = f"{type(e).__name__}: {e}"[:200]
+
+            if time.monotonic() > deadline:
+                raise TimeoutError("bench budget exhausted after longform "
+                                   "(degraded dispatch latency)")
             if os.environ.get("OPENHUSH_BENCH_BEAM", "1") == "1":
                 beam_x, beam_groups = beam_serving_bench(cfg, params)
                 out["beam_x_realtime"] = round(beam_x, 2)

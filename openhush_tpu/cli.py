@@ -86,9 +86,12 @@ def cmd_transcribe(args) -> int:
 
     print("Transcribing...")
     t0 = time.monotonic()
-    batchable = (len(files) > 1
-                 and all(len(a) <= 30 * 16000 for a in audios))
-    if batchable:
+    if len(files) > 1:
+        # Multi-file jobs — short OR long-form — batch through the
+        # continuous-batching server: each file runs its own seek loop,
+        # the server batches in-flight windows across files
+        # (runtime/longform.py). The reference processes files strictly
+        # sequentially (src/main.rs:948-1051).
         results = _transcribe_batch(engine, audios, args)
     else:
         results = [engine.transcribe(a, language=args.language,
@@ -138,65 +141,25 @@ def cmd_transcribe(args) -> int:
 
 
 def _transcribe_batch(engine, audios, args):
-    """Concurrent ≤30 s files through the continuous-batching server —
-    the batch-file path (baseline config #2) where TPU batching shines.
-    With --beam-size the same path runs concurrent beam GROUPS
+    """Concurrent files through the continuous-batching server — the
+    batch-file path (baseline config #2) where TPU batching shines.
+    Every file runs its own seek loop (one window in flight per file;
+    ≤30 s files are single-window loops), and the server batches the
+    in-flight windows of different files into one decode step. With
+    --beam-size the same path runs concurrent beam GROUPS
     (runtime/beam_server) instead of degrading to one-shot-per-file."""
-    import types
+    from openhush_tpu.runtime import longform
 
-    from openhush_tpu.runtime.server import EngineServer
-
-    from openhush_tpu.runtime.engine import TEMPERATURES
-
-    beam_size = getattr(args, "beam_size", None)
-    if beam_size:
-        from openhush_tpu.runtime.beam_server import BeamEngineServer
-        server = BeamEngineServer(engine.cfg, engine.params,
-                                  beam_size=beam_size,
-                                  n_slots=min(4, len(audios)),
-                                  tokenizer=engine.tokenizer,
-                                  dtype=engine.dtype,
-                                  temperatures=TEMPERATURES)
-    else:
-        server = EngineServer(engine.cfg, engine.params,
-                              n_slots=min(8, len(audios)),
-                              tokenizer=engine.tokenizer,
-                              dtype=engine.dtype,
-                              temperatures=TEMPERATURES)
-    sid = server.open_session()
-    for i, audio in enumerate(audios):
-        server.submit_window(
-            sid, audio, window_id=i,
-            language=(args.language or engine.language or "en")
-            if (args.language or engine.language) not in ("auto",)
-            else "auto",
-            task="translate" if args.translate else "transcribe",
-            timestamps=True)
-    done = {}
-    while len(done) < len(audios):
-        server.run_once()
-        while True:
-            res = server.poll(sid)
-            if res is None:
-                break
-            done[res.window_id] = res
-    out = []
-    for i, audio in enumerate(audios):
-        r = done[i]
-        segments = engine._parse_window_segments(
-            r.tokens, 0.0, len(audio) / 16000.0,
-            len(audio) // 160,
-            types.SimpleNamespace(avg_logprob=[r.avg_logprob],
-                                  no_speech_prob=[r.no_speech_prob],
-                                  temperature=0.0), 0.0)[0]
-        out.append(types.SimpleNamespace(
-            text=engine.tokenizer.decode(
-                [t for t in r.tokens
-                 if t < engine.tokenizer.special.timestamp_begin]).strip(),
-            language=r.tokens and engine.language or "en",
-            segments=segments,
-            duration_ms=int(r.latency * 1000)))
-    return out
+    lang = args.language or engine.language or "auto"
+    server = longform.make_server(engine.cfg, engine.params,
+                                  engine.tokenizer,
+                                  n_files=len(audios),
+                                  beam_size=getattr(args, "beam_size",
+                                                    None),
+                                  dtype=engine.dtype)
+    return longform.transcribe_files(
+        server, audios, language=lang,
+        task="translate" if args.translate else "transcribe")
 
 
 def cmd_model(args) -> int:

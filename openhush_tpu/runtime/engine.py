@@ -65,6 +65,7 @@ class TranscriptionResult:
     language: str
     segments: list[Segment]
     duration_ms: int                  # engine-side processing time
+    windows: int = 0                  # 30 s seek-loop windows decoded
 
 
 def compression_ratio(text: str) -> float:
@@ -72,6 +73,62 @@ def compression_ratio(text: str) -> float:
     if not data:
         return 0.0
     return len(data) / len(zlib.compress(data))
+
+
+def parse_window_segments(tokenizer, content: list[int], time_offset: float,
+                          segment_duration: float, segment_frames: int, *,
+                          avg_logprob: float, no_speech_prob: float,
+                          compression_ratio: float, temperature: float
+                          ) -> tuple[list[Segment], int]:
+    """Split one 30 s window's tokens into timestamped segments and compute
+    the seek advance — whisper's timestamp-pair consumption logic, shared
+    by the one-shot engine, the CLI batch path, and the long-form batched
+    driver (runtime/longform.py)."""
+    sp = tokenizer.special
+    ts = np.array([t >= sp.timestamp_begin for t in content], bool)
+    mk = lambda start, end, toks: Segment(
+        id=0, start=start, end=end,
+        text=tokenizer.decode(toks),
+        tokens=[t for t in toks if t < sp.eot],
+        avg_logprob=avg_logprob, no_speech_prob=no_speech_prob,
+        compression_ratio=compression_ratio, temperature=temperature)
+
+    if len(content) == 0:
+        return [], segment_frames
+
+    single_ending = (len(content) >= 2 and ts[-1] and not ts[-2])
+    consecutive = [i + 1 for i in range(len(content) - 1)
+                   if ts[i] and ts[i + 1]]
+    segments: list[Segment] = []
+    if consecutive:
+        slices = list(consecutive)
+        if single_ending:
+            slices.append(len(content))
+        last = 0
+        for cur in slices:
+            sliced = content[last:cur]
+            start_t = (sliced[0] - sp.timestamp_begin) * TIME_PRECISION
+            end_t = (sliced[-1] - sp.timestamp_begin) * TIME_PRECISION
+            segments.append(mk(time_offset + start_t,
+                               time_offset + end_t, sliced[1:-1]))
+            last = cur
+        if single_ending:
+            frames_advance = segment_frames
+        else:
+            last_ts = content[last - 1] - sp.timestamp_begin
+            frames_advance = max(
+                1, int(last_ts * TIME_PRECISION * FRAMES_PER_SECOND))
+    else:
+        duration = segment_duration
+        ts_tokens = [t for t in content if t >= sp.timestamp_begin]
+        if ts_tokens and ts_tokens[-1] != sp.timestamp_begin:
+            duration = (ts_tokens[-1] - sp.timestamp_begin) \
+                * TIME_PRECISION
+        segments.append(mk(time_offset, time_offset + duration,
+                           [t for t in content
+                            if t < sp.timestamp_begin]))
+        frames_advance = segment_frames
+    return segments, max(1, frames_advance)
 
 
 def default_model_dir() -> str:
@@ -95,7 +152,8 @@ class WhisperEngine:
                  vocab_dir: Optional[str] = None,
                  allow_random_init: bool = False,
                  quantize_weights: Optional[bool] = None,
-                 draft_model: Optional[str] = None):
+                 draft_model: Optional[str] = None,
+                 params=None):
         self.cfg = get_config(model)
         self.model_name = model
         self.language = language
@@ -104,7 +162,14 @@ class WhisperEngine:
 
         path = model_path or os.path.join(default_model_dir(),
                                           f"{model}.npz")
-        if os.path.exists(path):
+        if params is not None:
+            # Injected device-resident pytree (bench/tests): reuse the
+            # caller's weights instead of loading a second ~3 GB copy.
+            # The activation dtype follows the injected weights.
+            self.params = params
+            self.dtype = jnp.asarray(params["decoder"]["pos_emb"]).dtype
+            self.random_init = False
+        elif os.path.exists(path):
             from openhush_tpu.utils.checkpoint import load_params
             params = load_params(path)     # npz file or Orbax directory
             self.params = jax.tree.map(
@@ -246,6 +311,7 @@ class WhisperEngine:
                    without_timestamps: bool = False,
                    condition_on_previous_text: bool = True,
                    beam_size: Optional[int] = None,
+                   max_new_tokens: Optional[int] = None,
                    ) -> TranscriptionResult:
         """Transcribe mono 16 kHz float32 audio of any length (validated to
         the same limits as the reference FFI guard)."""
@@ -268,12 +334,16 @@ class WhisperEngine:
         all_tokens: list[int] = []
         prompt_reset_since = 0
         seek = 0  # in mel frames
+        windows = 0
 
         opts = decoding.DecodingOptions(
             task=task, without_timestamps=without_timestamps,
-            beam_size=beam_size)
+            beam_size=beam_size,
+            max_new_tokens=(max_new_tokens
+                            or decoding.DecodingOptions.max_new_tokens))
 
         while seek < content_frames:
+            windows += 1
             time_offset = seek * mel_ops.HOP_LENGTH / mel_ops.SAMPLE_RATE
             window = audio[seek * mel_ops.HOP_LENGTH:
                            seek * mel_ops.HOP_LENGTH + mel_ops.N_SAMPLES]
@@ -327,59 +397,16 @@ class WhisperEngine:
         duration_ms = int((time.monotonic() - t0) * 1000)
         return TranscriptionResult(
             text=text, language=detected_language or "en",
-            segments=segments, duration_ms=duration_ms)
+            segments=segments, duration_ms=duration_ms, windows=windows)
 
     def _parse_window_segments(self, content: list[int], time_offset: float,
                                segment_duration: float, segment_frames: int,
                                result, cr: float):
-        """Split one window's tokens into timestamped segments and compute
-        the seek advance — whisper's timestamp-pair consumption logic."""
-        sp = self.tokenizer.special
-        ts = np.array([t >= sp.timestamp_begin for t in content], bool)
-        mk = lambda start, end, toks: Segment(
-            id=0, start=start, end=end,
-            text=self.tokenizer.decode(toks),
-            tokens=[t for t in toks if t < sp.eot],
-            avg_logprob=float(result.avg_logprob[0]),
+        return parse_window_segments(
+            self.tokenizer, content, time_offset, segment_duration,
+            segment_frames, avg_logprob=float(result.avg_logprob[0]),
             no_speech_prob=float(result.no_speech_prob[0]),
             compression_ratio=cr, temperature=float(result.temperature))
-
-        if len(content) == 0:
-            return [], segment_frames
-
-        single_ending = (len(content) >= 2 and ts[-1] and not ts[-2])
-        consecutive = [i + 1 for i in range(len(content) - 1)
-                       if ts[i] and ts[i + 1]]
-        segments: list[Segment] = []
-        if consecutive:
-            slices = list(consecutive)
-            if single_ending:
-                slices.append(len(content))
-            last = 0
-            for cur in slices:
-                sliced = content[last:cur]
-                start_t = (sliced[0] - sp.timestamp_begin) * TIME_PRECISION
-                end_t = (sliced[-1] - sp.timestamp_begin) * TIME_PRECISION
-                segments.append(mk(time_offset + start_t,
-                                   time_offset + end_t, sliced[1:-1]))
-                last = cur
-            if single_ending:
-                frames_advance = segment_frames
-            else:
-                last_ts = content[last - 1] - sp.timestamp_begin
-                frames_advance = max(
-                    1, int(last_ts * TIME_PRECISION * FRAMES_PER_SECOND))
-        else:
-            duration = segment_duration
-            ts_tokens = [t for t in content if t >= sp.timestamp_begin]
-            if ts_tokens and ts_tokens[-1] != sp.timestamp_begin:
-                duration = (ts_tokens[-1] - sp.timestamp_begin) \
-                    * TIME_PRECISION
-            segments.append(mk(time_offset, time_offset + duration,
-                               [t for t in content
-                                if t < sp.timestamp_begin]))
-            frames_advance = segment_frames
-        return segments, max(1, frames_advance)
 
     # -- startup benchmark (chunk-interval auto-tune) ------------------------
 

@@ -90,3 +90,43 @@ def test_save_lkg_merges_and_drops_stale_errors(tmp_path, monkeypatch):
     monkeypatch.setattr(bench.jax, "devices", lambda: [_Cpu()])
     bench.save_lkg({"metric": "m", "value": 9.9})
     assert json.loads(lkg.read_text())["value"] == 2.0
+
+
+def test_longform_bench_stage(monkeypatch):
+    """longform_bench (product-path end-to-end stage) runs on the test
+    model: single-stream seek loop + batched-across-files driver, sane
+    metric keys. Engine-module guard constants are restored afterwards
+    (bench pins them process-wide by design; tests must not leak)."""
+    monkeypatch.setenv("OPENHUSH_BENCH_MODEL", "test")
+    monkeypatch.setenv("OPENHUSH_BENCH_DECODE_STEPS", "12")
+    monkeypatch.setenv("OPENHUSH_BENCH_CPU", "1")
+    sys.path.insert(0, REPO)
+    sys.modules.pop("bench", None)
+    import importlib
+
+    import bench
+    importlib.reload(bench)
+    import jax
+    import jax.numpy as jnp
+
+    from openhush_tpu.models.whisper import model as whisper
+    from openhush_tpu.models.whisper.config import get_config
+    from openhush_tpu.runtime import engine as engine_mod
+
+    saved = (engine_mod.TEMPERATURES, engine_mod.LOGPROB_THRESHOLD,
+             engine_mod.NO_SPEECH_THRESHOLD)
+    cfg = get_config("test")
+    params = whisper.init_params(cfg, jax.random.PRNGKey(0),
+                                 dtype=jnp.float32)
+    try:
+        out = bench.longform_bench(cfg, params, single_secs=40,
+                                   n_files=2, file_secs=35)
+    finally:
+        (engine_mod.TEMPERATURES, engine_mod.LOGPROB_THRESHOLD,
+         engine_mod.NO_SPEECH_THRESHOLD) = saved
+    assert out["longform_single_x_realtime"] > 0
+    assert out["longform_batch_x_realtime"] > 0
+    assert out["longform_batch_files"] == 2
+    assert out["longform_single_windows"] >= 2
+    assert out["longform_batch_windows"] >= 2
+    assert out["longform_vs_ref_worked_example"] > 0
