@@ -370,7 +370,6 @@ def encode(cfg: WhisperConfig, params: Params, mel: jax.Array) -> jax.Array:
     x = x + enc["pos_emb"][None, : x.shape[1]].astype(x.dtype)
 
     n_head = cfg.n_audio_head
-
     def block(x, lp):
         h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
         q = _split_heads(h @ lp["q_w"] + lp["q_b"], n_head)
@@ -763,7 +762,8 @@ def _attend_decode_flat_ro(q3, k_cache, v_cache, cache_mask, k_new,
 
 
 def _attend_decode_flat_beam(q3, k_cache, v_cache, anc_mask, k_new, v_new,
-                             n_head):
+                             n_head, *, ks=None, vs=None,
+                             ksn=None, vsn=None):
     """Beam-group self-attention WITHOUT cache reordering.
 
     Beam search logically requires each new beam to inherit its parent's
@@ -780,32 +780,55 @@ def _attend_decode_flat_beam(q3, k_cache, v_cache, anc_mask, k_new, v_new,
 
     q3     [G, K, HD]       one query per beam
     k/v_cache [G, K*T, HD]  the group's rows, flattened (row-major: key
-                            index j = row*T + t)
+                            index j = row*T + t); bf16 or int8
     anc_mask [G, K, K*T]    query i may see key j iff its ancestry wrote j
     k/v_new  [G, K, HD]     this step's keys — query i sees ONLY its own
                             (identity block mask; other beams' new keys
-                            belong to different hypotheses)
+                            belong to different hypotheses); ALREADY in
+                            cache dtype (bf16-cast or int8-quantized)
+    ks/vs    [G, K*T, H]    int8 mode: per-(key, head) cache scales
+    ksn/vsn  [G, K, H]      int8 mode: the new keys' scales
 
     Exactness: scores use the same block-diagonal selector einsum as
     every other flat path (contraction over HD is position-independent),
     and masked-out keys contribute exp(-inf)=0 to the softmax sum —
     the same values the gathered formulation sums, plus exact zeros;
-    only fp32 summation order differs (reduction-order noise, the class
-    the S=1-vs-multi paths already tolerate)."""
+    only fp32 summation order differs (reduction-order noise, same class
+    the S=1-vs-multi paths already tolerate). The int8 branch mirrors
+    _attend_decode_flat_ro: per-(group, beam, head) query quantization,
+    scale folds into scores/probs, joint prob scale over cache+block —
+    the MXU sees int8×int8→int32 dots only."""
     G, K, HD = q3.shape
     D = HD // n_head
     Tk = k_cache.shape[1]
     sel = jnp.asarray(_bd_selector(n_head, D)[:, :n_head])
+    quant = k_cache.dtype == jnp.int8
     SH = K * n_head
 
-    qbd = (q3[:, :, :, None] * sel.astype(q3.dtype)[None, None])
-    qbd = qbd.transpose(0, 2, 1, 3).reshape(G, HD, SH)
-    sc_c = jnp.einsum("gtk,gkm->gtm", k_cache, qbd,
-                      preferred_element_type=jnp.float32
-                      ).reshape(G, Tk, K, n_head) * (D ** -0.5)
-    sc_n = jnp.einsum("gjk,gkm->gjm", k_new, qbd,
-                      preferred_element_type=jnp.float32
-                      ).reshape(G, K, K, n_head) * (D ** -0.5)
+    if quant:
+        qh = q3.astype(jnp.float32).reshape(G, K, n_head, D)
+        qscale = jnp.maximum(jnp.max(jnp.abs(qh), axis=-1), 1e-10) / 127.0
+        q8 = jnp.clip(jnp.round(qh / qscale[..., None]), -127, 127)
+        q8f = q8.reshape(G, K, HD)
+        qbd = (q8f[:, :, :, None] * sel[None, None]).astype(jnp.int8)
+        qbd = qbd.transpose(0, 2, 1, 3).reshape(G, HD, SH)
+        sc_c = jnp.einsum("gtk,gkm->gtm", k_cache, qbd,
+                          preferred_element_type=jnp.int32
+                          ).reshape(G, Tk, K, n_head).astype(jnp.float32)
+        sc_c = sc_c * ks[:, :, None, :] * qscale[:, None] * (D ** -0.5)
+        sc_n = jnp.einsum("gjk,gkm->gjm", k_new, qbd,
+                          preferred_element_type=jnp.int32
+                          ).reshape(G, K, K, n_head).astype(jnp.float32)
+        sc_n = sc_n * ksn[:, :, None, :] * qscale[:, None] * (D ** -0.5)
+    else:
+        qbd = (q3[:, :, :, None] * sel.astype(q3.dtype)[None, None])
+        qbd = qbd.transpose(0, 2, 1, 3).reshape(G, HD, SH)
+        sc_c = jnp.einsum("gtk,gkm->gtm", k_cache, qbd,
+                          preferred_element_type=jnp.float32
+                          ).reshape(G, Tk, K, n_head) * (D ** -0.5)
+        sc_n = jnp.einsum("gjk,gkm->gjm", k_new, qbd,
+                          preferred_element_type=jnp.float32
+                          ).reshape(G, K, K, n_head) * (D ** -0.5)
 
     neg = jnp.finfo(jnp.float32).min
     # anc_mask [G, K(q), Tk] → [G, Tk, K(q), 1]
@@ -815,13 +838,30 @@ def _attend_decode_flat_beam(q3, k_cache, v_cache, anc_mask, k_new, v_new,
     probs = jax.nn.softmax(jnp.concatenate([sc_c, sc_n], axis=1),
                            axis=1)                     # over Tk + K keys
     p_c, p_n = probs[:, :Tk], probs[:, Tk:]
-    out = (jnp.einsum("gtm,gtk->gmk",
-                      p_c.reshape(G, Tk, SH).astype(v_cache.dtype),
-                      v_cache, preferred_element_type=jnp.float32)
-           + jnp.einsum("gjm,gjk->gmk",
-                        p_n.reshape(G, K, SH).astype(v_new.dtype),
-                        v_new, preferred_element_type=jnp.float32)
-           ).reshape(G, K, n_head, HD)
+    if quant:
+        pv_c = p_c * vs[:, :, None, :]
+        pv_n = p_n * vsn[:, :, None, :]
+        pscale = jnp.maximum(jnp.maximum(jnp.max(pv_c, axis=1),
+                                         jnp.max(pv_n, axis=1)),
+                             1e-20) / 127.0            # [G, K, H]
+        p8c = jnp.clip(jnp.round(pv_c / pscale[:, None]), -127, 127
+                       ).astype(jnp.int8)
+        p8n = jnp.clip(jnp.round(pv_n / pscale[:, None]), -127, 127
+                       ).astype(jnp.int8)
+        out_i = (jnp.einsum("gtm,gtk->gmk", p8c.reshape(G, Tk, SH),
+                            v_cache, preferred_element_type=jnp.int32)
+                 + jnp.einsum("gjm,gjk->gmk", p8n.reshape(G, K, SH),
+                              v_new, preferred_element_type=jnp.int32))
+        out = (out_i.reshape(G, K, n_head, HD).astype(jnp.float32)
+               * pscale[..., None])
+    else:
+        out = (jnp.einsum("gtm,gtk->gmk",
+                          p_c.reshape(G, Tk, SH).astype(v_cache.dtype),
+                          v_cache, preferred_element_type=jnp.float32)
+               + jnp.einsum("gjm,gjk->gmk",
+                            p_n.reshape(G, K, SH).astype(v_new.dtype),
+                            v_new, preferred_element_type=jnp.float32)
+               ).reshape(G, K, n_head, HD)
     out5 = out.reshape(G, K, n_head, n_head, D)
     eye = jnp.asarray(np.eye(n_head, dtype=np.float32))
     return jnp.einsum("bshgd,hg->bshd", out5, eye).reshape(
@@ -993,11 +1033,17 @@ def decode_beam_step(cfg: WhisperConfig, params: Params,
     reorder, no cross-KV tiling.
 
     tokens [G, K] (each beam's next token), pos [G] (groups advance in
-    lockstep), cache [L, G*K, T, H*D] (rows group-major, NEVER permuted),
+    lockstep), cache [L, G*K, T, H*D] (rows group-major, NEVER permuted;
+    KVCache bf16 or QuantKVCache int8 with [L, G*K, T, H] scales),
     anc_mask [G, K, K*T] (ancestry: query beam i may see flattened cache
     key j = row*T + t iff its history wrote it — see
     _attend_decode_flat_beam), cross_kv [L, G, A, ...] (ONE copy per
     group, bf16 or int8).
+
+    int8 self-cache mode quantizes each beam's new K/V at write time
+    (per-(row, head) scales, _quantize_heads recipe); the scale rows
+    ride the SAME ancestry mask as the values — a key's scale is read
+    exactly when the key is.
 
     The caller owns the ancestry update (gather by parent + set own bit
     at `pos` for the next step); this function only consumes the mask.
@@ -1011,26 +1057,43 @@ def decode_beam_step(cfg: WhisperConfig, params: Params,
         raise ValueError(f"K·H = {K * n_head} > 128: the grouped beam "
                          "step needs one lane tile")
     quantized = isinstance(cross_kv, QuantKVCache)
+    quant_self = isinstance(cache, QuantKVCache)
 
     x = dec["tok_emb"][tokens]                           # [G, K, D]
     x = x + dec["pos_emb"][pos][:, None].astype(x.dtype)
 
-    flat = lambda a: a.reshape(L, G, K * T, HD)
+    flat = lambda a: a.reshape(L, G, K * T, *a.shape[3:])
 
     def block(x, scanned):
         if quantized:
-            lp, k_cache, v_cache, xk, xks, xv, xvs = scanned
+            if quant_self:
+                (lp, k_cache, v_cache, ks_c, vs_c, xk, xks, xv,
+                 xvs) = scanned
+            else:
+                lp, k_cache, v_cache, xk, xks, xv, xvs = scanned
         else:
-            lp, k_cache, v_cache, xk, xv = scanned
+            if quant_self:
+                lp, k_cache, v_cache, ks_c, vs_c, xk, xv = scanned
+            else:
+                lp, k_cache, v_cache, xk, xv = scanned
             xks = xvs = None
         h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
         q = _mm(h, lp["q_w"]) + lp["q_b"]                # [G, K, HD]
         k_new = _mm(h, lp["k_w"])
         v_new = _mm(h, lp["v_w"]) + lp["v_b"]
-        kc_new = k_new.astype(k_cache.dtype)
-        vc_new = v_new.astype(v_cache.dtype)
-        attn = _attend_decode_flat_beam(q, k_cache, v_cache, anc_mask,
-                                        kc_new, vc_new, n_head)
+        if quant_self:
+            k8, k_s = _quantize_heads(k_new, n_head)
+            v8, v_s = _quantize_heads(v_new, n_head)
+            attn = _attend_decode_flat_beam(
+                q, k_cache, v_cache, anc_mask, k8, v8, n_head,
+                ks=ks_c, vs=vs_c, ksn=k_s, vsn=v_s)
+            ys = (k8, k_s, v8, v_s)
+        else:
+            kc_new = k_new.astype(k_cache.dtype)
+            vc_new = v_new.astype(v_cache.dtype)
+            attn = _attend_decode_flat_beam(q, k_cache, v_cache, anc_mask,
+                                            kc_new, vc_new, n_head)
+            ys = (kc_new, vc_new)
         x = x + _mm(attn, lp["o_w"]) + lp["o_b"]
         h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
         xq = _mm(h, lp["xq_w"]) + lp["xq_b"]
@@ -1039,15 +1102,17 @@ def decode_beam_step(cfg: WhisperConfig, params: Params,
         x = x + _mm(attn, lp["xo_w"]) + lp["xo_b"]
         h = layer_norm(x, lp["ln3_scale"], lp["ln3_bias"])
         x = x + _mlp(h, lp)
-        return x, (kc_new, vc_new)
+        return x, ys
 
+    self_xs = ((flat(cache.k), flat(cache.v), flat(cache.k_scale),
+                flat(cache.v_scale)) if quant_self
+               else (flat(cache.k), flat(cache.v)))
     if quantized:
-        xs = (dec["layers"], flat(cache.k), flat(cache.v), cross_kv.k,
+        xs = (dec["layers"], *self_xs, cross_kv.k,
               cross_kv.k_scale, cross_kv.v, cross_kv.v_scale)
     else:
-        xs = (dec["layers"], flat(cache.k), flat(cache.v), cross_kv.k,
-              cross_kv.v)
-    x, (dk, dv) = jax.lax.scan(block, x, xs)
+        xs = (dec["layers"], *self_xs, cross_kv.k, cross_kv.v)
+    x, deltas = jax.lax.scan(block, x, xs)
 
     # Delta write: beam (g, i) → row g*K + i at position pos[g]. One
     # batched scatter, same shape discipline as _decode_flat_ro.write.
@@ -1055,11 +1120,20 @@ def decode_beam_step(cfg: WhisperConfig, params: Params,
     b_idx = jnp.arange(GK)[:, None]
     t_idx = pos_rep[:, None] + jnp.zeros((1, 1), jnp.int32)
 
-    def write(buf, new):                                 # new [L, G, K, HD]
+    def write(buf, new):                         # new [L, G, K, HD|H]
         return buf.at[:, b_idx, t_idx].set(
-            new.reshape(L, GK, 1, HD), mode="drop", unique_indices=True)
+            new.reshape(L, GK, 1, new.shape[-1]), mode="drop",
+            unique_indices=True)
 
-    new_cache = KVCache(write(cache.k, dk), write(cache.v, dv))
+    if quant_self:
+        k8, k_s, v8, v_s = deltas
+        new_cache = QuantKVCache(write(cache.k, k8),
+                                 write(cache.k_scale, k_s),
+                                 write(cache.v, v8),
+                                 write(cache.v_scale, v_s))
+    else:
+        new_cache = KVCache(write(cache.k, deltas[0]),
+                            write(cache.v, deltas[1]))
 
     x = layer_norm(x, dec["ln_scale"], dec["ln_bias"])
     logits = jnp.dot(x.astype(jnp.float32),

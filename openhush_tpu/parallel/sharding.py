@@ -132,12 +132,38 @@ def shard_beam_state(state, mesh: Mesh, n_groups: int,
     # K == G or L == G): [L, G*K, ...] caches and [L, G, ...] group-shared
     # cross-KV split their ROW dim (axis 1) over 'data'; every other
     # field with a leading G*K or G dim splits axis 0.
-    axis1_fields = {"cache_k", "cache_v", "xkv_k", "xkv_ks",
-                    "xkv_v", "xkv_vs"}
+    axis1_fields = {"cache_k", "cache_v", "cache_ks", "cache_vs",
+                    "xkv_k", "xkv_ks", "xkv_v", "xkv_vs"}
+    # Coverage guard: a future [L, G*K|G, ...] BeamState field missing
+    # from the set would silently fall through to the axis-0 sniff —
+    # replicated (perf loss) or, when L coincides with G or G*K, split
+    # over its LAYER axis. Catch it structurally instead.
+    n_layers = state.cache_k.shape[0]
+    for f in state._fields:
+        a = getattr(state, f)
+        if (f not in axis1_fields and a.ndim >= 2
+                and a.shape[0] == n_layers and a.shape[1] in (gk, n_groups)):
+            raise AssertionError(
+                f"BeamState.{f} looks like a per-layer row-dim buffer "
+                f"(shape {a.shape}) but is not in shard_beam_state's "
+                "axis1_fields — add it (row dim must split over 'data')")
+
+    n_model = mesh.shape[MODEL_AXIS]
 
     def spec_for(name, a):
         if name in axis1_fields:
-            return P(None, DATA_AXIS)
+            # Rows over 'data'; the head-contiguous trailing dim (HD for
+            # values, H for scales) over 'model' — the same layout as the
+            # greedy cache_spec()/kv_scale_spec() AND the layout TP
+            # projection outputs already carry. Aligning them stops GSPMD
+            # from force-resharding the donated cache buffers at admit
+            # (involuntary-full-remat warnings, VERDICT r4 #6). The fp-
+            # mode [L, G*K, 1, 1] scale placeholders (and any head count
+            # not divisible by the model axis) keep the trailing dim
+            # unsplit.
+            last = (MODEL_AXIS if a.shape[-1] > 1
+                    and a.shape[-1] % n_model == 0 else None)
+            return P(None, DATA_AXIS, None, last)
         if a.ndim >= 1 and a.shape[0] in (gk, n_groups):
             return P(DATA_AXIS)
         return P()

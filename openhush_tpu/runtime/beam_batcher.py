@@ -65,8 +65,13 @@ NEG_INF = decoding.NEG_INF
 
 
 class BeamState(NamedTuple):
-    cache_k: jax.Array       # [L, G*K, T, H*Dh]
+    cache_k: jax.Array       # [L, G*K, T, H*Dh] (bf16, or int8 opt-in)
     cache_v: jax.Array
+    # Self-cache scales [L, G*K, T, H] — meaningful only in int8-self-
+    # cache mode (init_state(int8_self_cache=True)); [L, G*K, 1, 1]
+    # placeholders otherwise (same convention as batcher.SlotState).
+    cache_ks: jax.Array
+    cache_vs: jax.Array
     xkv_k: jax.Array         # int8 [L, G, A, H*Dh] — shared per group
     xkv_ks: jax.Array        # f32  [L, G, A, H]
     xkv_v: jax.Array
@@ -112,7 +117,8 @@ def _unpack(donated, kept) -> BeamState:
 
 def init_state(cfg: WhisperConfig, n_groups: int, beam_size: int,
                dtype=jnp.bfloat16, max_len: Optional[int] = None,
-               audio_ctx: Optional[int] = None) -> BeamState:
+               audio_ctx: Optional[int] = None,
+               int8_self_cache: bool = False) -> BeamState:
     G, K = n_groups, beam_size
     GK = G * K
     L, H = cfg.n_text_layer, cfg.n_text_head
@@ -120,9 +126,13 @@ def init_state(cfg: WhisperConfig, n_groups: int, beam_size: int,
     T = max_len or cfg.n_text_ctx
     A = audio_ctx or cfg.n_audio_ctx
     sp = WhisperTokenizer(cfg.n_langs).special
+    cache_dtype = jnp.int8 if int8_self_cache else dtype
+    sshape = (L, GK, T, H) if int8_self_cache else (L, GK, 1, 1)
     return BeamState(
-        cache_k=jnp.zeros((L, GK, T, H * Dh), dtype),
-        cache_v=jnp.zeros((L, GK, T, H * Dh), dtype),
+        cache_k=jnp.zeros((L, GK, T, H * Dh), cache_dtype),
+        cache_v=jnp.zeros((L, GK, T, H * Dh), cache_dtype),
+        cache_ks=jnp.zeros(sshape, jnp.float32),
+        cache_vs=jnp.zeros(sshape, jnp.float32),
         xkv_k=jnp.zeros((L, G, A, H * Dh), jnp.int8),
         xkv_ks=jnp.zeros((L, G, A, H), jnp.float32),
         xkv_v=jnp.zeros((L, G, A, H * Dh), jnp.int8),
@@ -153,7 +163,8 @@ def init_state(cfg: WhisperConfig, n_groups: int, beam_size: int,
 
 def state_bytes(cfg: WhisperConfig, n_groups: int, beam_size: int,
                 dtype=jnp.bfloat16, max_len: Optional[int] = None,
-                audio_ctx: Optional[int] = None) -> int:
+                audio_ctx: Optional[int] = None,
+                int8_self_cache: bool = False) -> int:
     """Exact device bytes init_state(...) will allocate (jax.eval_shape —
     can't drift from the allocation code). Beam groups are the
     HBM-heaviest state in the tree: G·K bf16 self-caches plus one int8
@@ -162,7 +173,8 @@ def state_bytes(cfg: WhisperConfig, n_groups: int, beam_size: int,
     import numpy as np
     shapes = jax.eval_shape(functools.partial(
         init_state, cfg, n_groups, beam_size, dtype=dtype,
-        max_len=max_len, audio_ctx=audio_ctx))
+        max_len=max_len, audio_ctx=audio_ctx,
+        int8_self_cache=int8_self_cache))
     total = sum(int(np.prod(x.shape)) * x.dtype.itemsize
                 for x in jax.tree.leaves(shapes))
     if not whisper.beam_grouped_ok(cfg, beam_size):
@@ -233,10 +245,16 @@ def _prefill_group(cfg, params, state: BeamState, group, row_xkv, prompt,
     G, K, T = state.tokens.shape
     sp = WhisperTokenizer(cfg.n_langs).special
     base = group * K
+    quant_self = state.cache_k.dtype == jnp.int8
 
-    zero_row = jnp.zeros_like(
-        jax.lax.dynamic_slice_in_dim(state.cache_k, 0, 1, axis=1))
-    row_cache = whisper.KVCache(zero_row, zero_row)
+    zrow = lambda buf: jnp.zeros_like(
+        jax.lax.dynamic_slice_in_dim(buf, 0, 1, axis=1))
+    zero_row = zrow(state.cache_k)
+    if quant_self:
+        row_cache = whisper.QuantKVCache(zero_row, zrow(state.cache_ks),
+                                         zero_row, zrow(state.cache_vs))
+    else:
+        row_cache = whisper.KVCache(zero_row, zero_row)
     logits, row_cache = whisper.decode(cfg, params, prompt, jnp.int32(0),
                                        row_cache, row_xkv)
     tile = lambda x: jnp.repeat(x, K, axis=1)
@@ -244,6 +262,10 @@ def _prefill_group(cfg, params, state: BeamState, group, row_xkv, prompt,
         buf, val.astype(buf.dtype), (0, base, 0, 0))
     cache_k = putc(state.cache_k, tile(row_cache.k))
     cache_v = putc(state.cache_v, tile(row_cache.v))
+    cache_ks, cache_vs = state.cache_ks, state.cache_vs
+    if quant_self:
+        cache_ks = putc(cache_ks, tile(row_cache.k_scale))
+        cache_vs = putc(cache_vs, tile(row_cache.v_scale))
 
     sot_probs = jax.nn.softmax(logits[:, 0].astype(jnp.float32), -1)
     last = logits[0, -1].astype(jnp.float32)             # [V]
@@ -266,6 +288,7 @@ def _prefill_group(cfg, params, state: BeamState, group, row_xkv, prompt,
         (group,) + (0,) * (a.ndim - 1))
     return state._replace(
         cache_k=cache_k, cache_v=cache_v,
+        cache_ks=cache_ks, cache_vs=cache_vs,
         tokens=jax.lax.dynamic_update_slice(state.tokens, tokens_g,
                                             (group, 0, 0)),
         alive_lp=setg(state.alive_lp, alive0),
@@ -370,6 +393,7 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
     V = state.last_logits.shape[1]
     ids = jnp.arange(V)
     grouped = whisper.beam_grouped_ok(cfg, K)
+    quant_self = state.cache_k.dtype == jnp.int8
     if grouped:
         # Ancestry-masked group step: shared cross-KV, no cache reorder
         # (model.decode_beam_step).
@@ -490,13 +514,17 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
                               ts_old)
 
         # ---- one decode step for all rows -------------------------------
+        mkcache = lambda k, ks, v, vs: (
+            whisper.QuantKVCache(k, ks, v, vs) if quant_self
+            else whisper.KVCache(k, v))
         if grouped:
             # Inherit the parent's ancestry (this step's visibility),
             # then record each beam's own write at pos_g for the NEXT
             # step. The cache itself is never permuted.
             anc_att = jnp.take_along_axis(
                 state.anc, parent_sel[:, :, None, None], axis=1)
-            cache = whisper.KVCache(state.cache_k, state.cache_v)
+            cache = mkcache(state.cache_k, state.cache_ks,
+                            state.cache_v, state.cache_vs)
             logits3, cache = whisper.decode_beam_step(
                 cfg, params, tok_sel, pos_g, cache,
                 anc_att.reshape(G, K, K * T), xkv)
@@ -508,8 +536,9 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
         else:
             flat_parent = (parent_sel
                            + jnp.arange(G)[:, None] * K).reshape(GK)
-            cache = whisper.KVCache(state.cache_k[:, flat_parent],
-                                    state.cache_v[:, flat_parent])
+            gat = lambda a: a[:, flat_parent]
+            cache = mkcache(gat(state.cache_k), gat(state.cache_ks),
+                            gat(state.cache_v), gat(state.cache_vs))
             feed = tok_sel.reshape(GK)
             logits, cache = whisper.decode(cfg, params, feed[:, None],
                                            jnp.repeat(pos_g, K), cache,
@@ -530,8 +559,12 @@ def _step_impl(cfg: WhisperConfig, params, donated, kept,
                 & jnp.where(is_beam, cond_beam, cond_samp))
         finished = state.finished | (live & ~cont)
 
+        cache_fields = (dict(cache_k=cache.k, cache_ks=cache.k_scale,
+                             cache_v=cache.v, cache_vs=cache.v_scale)
+                        if quant_self
+                        else dict(cache_k=cache.k, cache_v=cache.v))
         return state._replace(
-            cache_k=cache.k, cache_v=cache.v, tokens=tokens,
+            **cache_fields, tokens=tokens,
             alive_lp=alive_lp, alive_len=alive_len,
             fin_scores=fin_scores, fin_tokens=fin_tokens,
             fin_lens=fin_lens,

@@ -337,3 +337,140 @@ def test_beam_server_peek_and_queue(setup):
     assert peeked is not None  # saw a mid-decode partial
     assert server.queue_depth() == 0
     server.close_session(sid)
+
+
+def test_beam_int8_self_cache_modes(setup):
+    """Opt-in int8 self-cache for the GROUPED beam step (VERDICT r4 #3a):
+    each beam's new K/V is quantized at write time and the scale rows
+    ride the same ancestry mask as the values (model.decode_beam_step).
+    Like the greedy int8 self-cache, quantization error COMPOUNDS through
+    the autoregressive chain, so the contract is bounded logit drift per
+    step plus an end-to-end run — not token equality on random weights."""
+    cfg, params, tok = setup
+    K = 3
+    xkv = _xkv_quant(cfg, params, seed=41)
+    prompt = tok.sot_sequence("en", "transcribe", timestamps=False)
+    suppress = jnp.asarray(decoding.build_suppress_mask(
+        tok, cfg, decoding.DecodingOptions()))
+    blank = int(tok.encode(" ")[0])
+
+    # 1. Per-dispatch logit accuracy on a shared prefix: one inner step
+    #    from identical prefills, fp32 state vs int8 state.
+    def one_step_logits(int8):
+        state = beam_batcher.init_state(cfg, n_groups=1, beam_size=K,
+                                        dtype=jnp.float32,
+                                        int8_self_cache=int8)
+        state = beam_batcher.admit(
+            cfg, params, state, jnp.int32(0), xkv,
+            jnp.asarray([prompt], jnp.int32), jnp.asarray(False),
+            prompt_len=len(prompt), max_new=jnp.int32(16))
+        state = beam_batcher.step(cfg, params, state, suppress,
+                                  inner_steps=1, blank_token=blank)
+        return np.asarray(state.last_logits, np.float32)
+
+    lf, lq = one_step_logits(False), one_step_logits(True)
+    valid = np.isfinite(lf) & np.isfinite(lq)
+    scale = np.abs(lf[valid]).max()
+    assert np.abs(lf[valid] - lq[valid]).max() < 0.02 * scale, \
+        "int8 beam self-cache logit drift exceeds 2%"
+
+    # 2. End-to-end: int8-mode beam server completes a window with the
+    #    right buffer dtypes (values int8, per-(pos, head) scales).
+    server = BeamEngineServer(cfg, params, n_slots=1, beam_size=K,
+                              inner_steps=8, dtype=jnp.float32,
+                              tokenizer=tok, int8_self_cache=True,
+                              **NO_GUARDS)
+    assert server.state.cache_k.dtype == jnp.int8
+    assert server.state.cache_ks.shape[-1] == cfg.n_text_head
+    rng = np.random.default_rng(17)
+    sid = server.open_session()
+    server.submit_window(sid, (0.2 * rng.standard_normal(16000 * 2)
+                               ).astype(np.float32), window_id=0)
+    r = None
+    for _ in range(400):
+        server.run_once()
+        r = server.poll(sid)
+        if r is not None:
+            break
+    assert r is not None
+    assert isinstance(r.text, str) and 0.0 <= r.no_speech_prob <= 1.0
+
+    # 3. Default mode keeps fp caches + placeholder scales.
+    fp = beam_batcher.init_state(cfg, n_groups=1, beam_size=K,
+                                 dtype=jnp.float32)
+    assert fp.cache_k.dtype == jnp.float32
+    assert fp.cache_ks.shape[2:] == (1, 1)
+
+
+def test_beam_int8_fallback_matches_grouped(setup, monkeypatch):
+    """int8 self-cache through the forced parent-gather fallback must
+    reproduce the grouped ancestry-masked step's tokens: both paths
+    quantize with the same per-(row, head) recipe (_quantize_heads) and
+    fold the same scales, so only fp32 reduction order differs."""
+    cfg, params, tok = setup
+    K = 3
+    xkv = _xkv_quant(cfg, params, seed=43)
+    prompt = tok.sot_sequence("en", "transcribe", timestamps=False)
+    suppress = jnp.asarray(decoding.build_suppress_mask(
+        tok, cfg, decoding.DecodingOptions()))
+    max_new = 16
+
+    def run(int8):
+        state = beam_batcher.init_state(cfg, n_groups=1, beam_size=K,
+                                        dtype=jnp.float32,
+                                        int8_self_cache=int8)
+        state = beam_batcher.admit(
+            cfg, params, state, jnp.int32(0), xkv,
+            jnp.asarray([prompt], jnp.int32), jnp.asarray(False),
+            prompt_len=len(prompt), max_new=jnp.int32(max_new))
+        state = _run_group_to_done(cfg, params, state, suppress, tok, 0)
+        assert bool(np.asarray(state.finished[0]))
+        return _harvest_group(state, tok, 0, len(prompt))
+
+    got_g, score_g = run(True)
+    monkeypatch.setattr(whisper, "beam_grouped_ok", lambda _cfg, _k: False)
+    jax.clear_caches()
+    try:
+        got_f, score_f = run(True)
+        assert got_f == got_g, "int8 fallback diverged from int8 grouped"
+        assert score_f == pytest.approx(score_g, abs=1e-4)
+    finally:
+        jax.clear_caches()
+
+
+def test_beam_server_deep_stepping_token_exact(setup):
+    """Deep stepping (VERDICT r4 #3b): when every group is occupied the
+    beam server runs deep_factor× longer scans per dispatch. Token-exact
+    by construction — the scan just runs further; frozen groups stay
+    masked — so a saturated deep server must emit exactly what the
+    shallow server emits."""
+    cfg, params, tok = setup
+    rng = np.random.default_rng(9)
+    audios = [(0.2 * rng.standard_normal(16000 * 2)).astype(np.float32)
+              for _ in range(4)]
+
+    def run(deep_factor):
+        server = BeamEngineServer(cfg, params, n_slots=2, beam_size=2,
+                                  inner_steps=4, dtype=jnp.float32,
+                                  tokenizer=tok, deep_factor=deep_factor,
+                                  max_admissions_per_turn=2, **NO_GUARDS)
+        sid = server.open_session()
+        for i, a in enumerate(audios):
+            server.submit_window(sid, a, window_id=i, timestamps=False)
+        got = {}
+        for _ in range(800):
+            server.run_once()
+            while True:
+                r = server.poll(sid)
+                if r is None:
+                    break
+                got[r.window_id] = r.tokens
+            if len(got) == len(audios):
+                break
+        server.close_session(sid)
+        return got
+
+    shallow, deep = run(1), run(4)
+    assert shallow.keys() == deep.keys() == set(range(len(audios)))
+    for w in shallow:
+        assert shallow[w] == deep[w], f"window {w} diverged under deep"

@@ -34,7 +34,8 @@ def test_gate_offline_dryrun(tmp_path):
         (tmp_path / "work" / "gate_report.json").read_text())
     assert report["ok"]
     expected = {"whisper_convert", "whisper_parity", "wer_bf16",
-                "wer_int8_self", "int8_decision", "wer_gelu_tanh",
+                "wer_int8_self", "wer_beam_bf16", "wer_beam_int8",
+                "int8_decision", "wer_gelu_tanh",
                 "gelu_decision", "wer_int8_rung", "int8_rung_decision",
                 "spec_accept_rate", "m2m100_convert", "aux_convert",
                 "silero_sanity", "diarization_der"}

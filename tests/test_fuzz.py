@@ -385,3 +385,227 @@ def test_fuzz_chord_poller_state_machine(fuzz_seed):
     for e in events:
         if e[0] == "press":
             assert e[1] and e[2]             # chord truly held
+
+
+@pytest.mark.slow
+def test_fuzz_beam_ancestry_vs_gather_oracle(fuzz_seed):
+    """Random parent-switch sequences through the grouped beam step
+    (model.decode_beam_step, ancestry MASK, cache never permuted) vs the
+    gather oracle (physically reorder the cache rows by parent, then a
+    per-row decode step). The ancestry mask is the tree's newest
+    correctness-critical invariant; this drives it with parent choices
+    beam search itself would never produce (repeats, collapses, swaps).
+    Logits must agree to fp32 reduction-order noise; argmaxes must agree
+    wherever the top-2 margin clears that noise."""
+    import jax
+    import jax.numpy as jnp
+
+    from openhush_tpu.models.whisper import model as whisper
+    from openhush_tpu.models.whisper.config import get_config
+    from openhush_tpu.text.tokenizer import WhisperTokenizer
+
+    cfg = get_config("test")
+    params = whisper.init_params(cfg, jax.random.PRNGKey(7))
+    tok = WhisperTokenizer(cfg.n_langs)
+    rng = np.random.default_rng(fuzz_seed + 777)
+    G, K, T = 2, 3, 24
+    L, H = cfg.n_text_layer, cfg.n_text_head
+    HD = cfg.n_text_state
+    GK = G * K
+
+    mel = rng.standard_normal((G, 80, 3000)).astype(np.float32) * 0.5
+    feats = whisper.encode(cfg, params, mel)
+    xkv = whisper.compute_cross_kv_quant(cfg, params, feats)
+
+    prompt = tok.sot_sequence("en", "transcribe", timestamps=False)
+    P = len(prompt)
+
+    # Prefill one row per group, tile K ways (beam_batcher._prefill_group
+    # does the same); both formulations start from this identical cache.
+    cache_g = whisper.init_kv_cache(cfg, GK, dtype=jnp.float32, max_len=T)
+    ktile = np.zeros((L, GK, T, HD), np.float32)
+    vtile = np.zeros_like(ktile)
+    for g in range(G):
+        row_xkv = whisper.QuantKVCache(
+            *[jnp.asarray(np.asarray(getattr(xkv, f))[:, g:g + 1])
+              for f in ("k", "k_scale", "v", "v_scale")])
+        rc = whisper.init_kv_cache(cfg, 1, dtype=jnp.float32, max_len=T)
+        _, rc = whisper.decode(cfg, params, jnp.asarray([prompt],
+                                                        jnp.int32),
+                               jnp.int32(0), rc, row_xkv)
+        ktile[:, g * K:(g + 1) * K] = np.asarray(rc.k)
+        vtile[:, g * K:(g + 1) * K] = np.asarray(rc.v)
+    cache_g = whisper.KVCache(jnp.asarray(ktile), jnp.asarray(vtile))
+    cache_o = whisper.KVCache(jnp.asarray(ktile), jnp.asarray(vtile))
+
+    # Ancestry: each beam's own row holds the (identical) prompt.
+    anc = (np.eye(K, dtype=bool)[None, :, :, None]
+           & (np.arange(T)[None, None, None, :] < P))
+    anc = np.broadcast_to(anc, (G, K, K, T)).copy()
+
+    n_steps = 6
+    for step in range(n_steps):
+        pos = P + step
+        parents = rng.integers(0, K, size=(G, K)).astype(np.int32)
+        tokens = rng.integers(0, cfg.n_vocab, size=(G, K)).astype(np.int32)
+
+        # Grouped: inherit parent's ancestry, step, set own bit.
+        anc_att = np.take_along_axis(anc, parents[:, :, None, None],
+                                     axis=1)
+        lg, cache_g = whisper.decode_beam_step(
+            cfg, params, jnp.asarray(tokens),
+            jnp.full((G,), pos, jnp.int32), cache_g,
+            jnp.asarray(anc_att.reshape(G, K, K * T)), xkv)
+        own = (np.eye(K, dtype=bool)[None, :, :, None]
+               & (np.arange(T)[None, None, None, :] == pos))
+        anc = anc_att | own
+
+        # Oracle: physically gather rows by flat parent, per-row decode
+        # (the K-tiled cross-KV fallback formulation).
+        flat_parent = (parents + np.arange(G)[:, None] * K).reshape(GK)
+        cache_o = whisper.KVCache(cache_o.k[:, flat_parent],
+                                  cache_o.v[:, flat_parent])
+        rep = lambda a: jnp.repeat(a, K, axis=1)
+        xkv_t = whisper.QuantKVCache(rep(xkv.k), rep(xkv.k_scale),
+                                     rep(xkv.v), rep(xkv.v_scale))
+        lo, cache_o = whisper.decode(
+            cfg, params, jnp.asarray(tokens.reshape(GK, 1)),
+            jnp.full((GK,), pos, jnp.int32), cache_o, xkv_t)
+
+        a = np.asarray(lg, np.float32).reshape(GK, -1)
+        b = np.asarray(lo, np.float32)[:, -1]
+        valid = np.isfinite(a) & np.isfinite(b)
+        scale = np.abs(b[valid]).max()
+        noise = 5e-5 * scale
+        assert np.abs(a[valid] - b[valid]).max() < noise, \
+            f"step {step}: grouped/gather logit divergence"
+        for r in range(GK):
+            av, bv = a[r], b[r]
+            top2 = np.partition(bv[np.isfinite(bv)], -2)[-2:]
+            if top2[1] - top2[0] > 2 * noise:
+                assert int(av.argmax()) == int(bv.argmax()), \
+                    f"step {step} row {r}: argmax flipped"
+
+
+@pytest.mark.slow
+def test_fuzz_beam_batcher_admit_evict_interleavings(fuzz_seed):
+    """Random admit / step / harvest / release interleavings through the
+    beam batcher: every window's result must be IDENTICAL to an isolated
+    single-group run of the same window (the per-group B=1 semantics
+    contract), no matter what its neighbors do — plus the structural
+    ancestry invariant (every live beam's mask selects exactly
+    prompt_len + step positions: one ancestor row bit per written
+    position, never more, never fewer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from openhush_tpu.models.whisper import decoding, model as whisper
+    from openhush_tpu.models.whisper.config import get_config
+    from openhush_tpu.runtime import beam_batcher
+    from openhush_tpu.text.tokenizer import WhisperTokenizer
+
+    cfg = get_config("test")
+    params = whisper.init_params(cfg, jax.random.PRNGKey(7))
+    tok = WhisperTokenizer(cfg.n_langs)
+    rng = np.random.default_rng(fuzz_seed + 999)
+    G, K = 2, 2
+    max_new = 10
+    blank = int(tok.encode(" ")[0])
+    prompt = tok.sot_sequence("en", "transcribe", timestamps=False)
+    P = len(prompt)
+    suppress = jnp.asarray(decoding.build_suppress_mask(
+        tok, cfg, decoding.DecodingOptions()))
+
+    def xkv_for(seed):
+        r2 = np.random.default_rng(seed)
+        mel = r2.standard_normal((1, 80, 3000)).astype(np.float32) * 0.5
+        feats = whisper.encode(cfg, params, mel)
+        return whisper.compute_cross_kv_quant(cfg, params, feats)
+
+    def harvest(state, g):
+        fetch = jax.device_get(
+            (state.tokens, state.alive_lp, state.alive_len,
+             state.fin_scores, state.fin_tokens, state.fin_lens,
+             state.temperature, state.done_row))
+        row, length, _ = beam_batcher.best_hypothesis(
+            *[f[g] for f in fetch])
+        return [int(t) for t in row[P:P + length]
+                if t != tok.special.eot]
+
+    # Isolated references: each window run alone to completion.
+    windows = [xkv_for(1000 + i) for i in range(3)]
+    expected = []
+    for xkv in windows:
+        st = beam_batcher.init_state(cfg, 1, K, dtype=jnp.float32)
+        st = beam_batcher.admit(
+            cfg, params, st, jnp.int32(0), xkv,
+            jnp.asarray([prompt], jnp.int32), jnp.asarray(False),
+            prompt_len=P, max_new=jnp.int32(max_new))
+        for _ in range(40):
+            st = beam_batcher.step(cfg, params, st, suppress,
+                                   inner_steps=2, blank_token=blank)
+            if bool(np.asarray(st.finished[0])):
+                break
+        expected.append(harvest(st, 0))
+
+    # Random interleaving over G groups; every admitted window must
+    # reproduce its isolated result at harvest.
+    state = beam_batcher.init_state(cfg, G, K, dtype=jnp.float32)
+    occupant = {}          # group → window index
+    next_win = 0
+    checked = 0
+    for _ in range(60):
+        act = rng.integers(0, 3)
+        free = [g for g in range(G) if g not in occupant]
+        if act == 0 and free and next_win < len(expected) * 2:
+            g = int(rng.choice(free))
+            w = next_win % len(windows)
+            state = beam_batcher.admit(
+                cfg, params, state, jnp.int32(g), windows[w],
+                jnp.asarray([prompt], jnp.int32), jnp.asarray(False),
+                prompt_len=P, max_new=jnp.int32(max_new))
+            occupant[g] = w
+            next_win += 1
+        elif act == 1 and occupant:
+            state = beam_batcher.step(
+                cfg, params, state, suppress,
+                inner_steps=int(rng.integers(1, 4)), blank_token=blank)
+            # Ancestry invariant on live beam-mode groups: each beam
+            # sees exactly P + step written positions.
+            anc, stepv, active, fin = jax.device_get(
+                (state.anc, state.step, state.active, state.finished))
+            for g in list(occupant):
+                if active[g] and not fin[g]:
+                    want = P + int(stepv[g])
+                    got = anc[g].reshape(K, -1).sum(axis=1)
+                    assert (got == want).all(), \
+                        f"group {g}: ancestry count {got} != {want}"
+        else:
+            fin = np.asarray(state.finished)
+            for g in list(occupant):
+                if fin[g]:
+                    got = harvest(state, g)
+                    assert got == expected[occupant[g]], \
+                        f"group {g} diverged from isolated run"
+                    checked += 1
+                    mask = np.zeros(G, bool)
+                    mask[g] = True
+                    state = beam_batcher.release(state,
+                                                 jnp.asarray(mask))
+                    del occupant[g]
+    # Drain: finish whatever is still in flight and check it too.
+    for _ in range(60):
+        if not occupant:
+            break
+        state = beam_batcher.step(cfg, params, state, suppress,
+                                  inner_steps=2, blank_token=blank)
+        fin = np.asarray(state.finished)
+        for g in list(occupant):
+            if fin[g]:
+                assert harvest(state, g) == expected[occupant[g]]
+                checked += 1
+                mask = np.zeros(G, bool)
+                mask[g] = True
+                state = beam_batcher.release(state, jnp.asarray(mask))
+                del occupant[g]
+    assert checked >= 3, "interleaving never exercised a harvest"

@@ -12,8 +12,12 @@ Stages (each recorded in gate_report.json as {ok, seconds, detail}):
   2. whisper_parity    tools/parity_gate.py vs torch HF on sample WAVs
   3. wer_bf16          engine WER on the LibriSpeech-layout dataset
   4. wer_int8_self     SERVING-path WER with the int8 self-cache rung
-  5. int8_decision     drift < 0.1 abs → drops models/int8_self_cache.ok
-                       (EngineServer flips its default on that marker)
+  4b. wer_beam_bf16 /  BEAM-serving-path WER (BeamEngineServer, K=5)
+      wer_beam_int8    bf16 vs int8 self-cache — the marker flips both
+                       server families, so both drifts gate it
+  5. int8_decision     greedy AND beam drift < 0.1 abs → drops
+                       models/int8_self_cache.ok (EngineServer and
+                       BeamEngineServer flip their default on it)
   6. wer_gelu_tanh     engine WER with OPENHUSH_GELU=tanh (fresh
                        interpreter — GELU mode is per-process)
   7. gelu_decision     drift < 0.1 abs → drops models/gelu_tanh.ok
@@ -127,7 +131,7 @@ class _ServerEngine:
     + int8 cross-KV (always on in serving) + fused quantize kernel."""
 
     def __init__(self, model: str, int8_self_cache: bool,
-                 quantize_weights: bool = False):
+                 quantize_weights: bool = False, beam_size: int = 0):
         import jax.numpy as jnp
 
         from openhush_tpu.runtime.engine import WhisperEngine
@@ -140,11 +144,18 @@ class _ServerEngine:
                   else dict(temperatures=(0.0,),
                             logprob_threshold=-1e9,
                             no_speech_threshold=2.0))
-        self.server = EngineServer(eng.cfg, eng.params,
-                                   tokenizer=eng.tokenizer, n_slots=4,
-                                   dtype=jnp.bfloat16,
-                                   int8_self_cache=int8_self_cache,
-                                   **guards)
+        if beam_size:
+            from openhush_tpu.runtime.beam_server import BeamEngineServer
+            self.server = BeamEngineServer(
+                eng.cfg, eng.params, tokenizer=eng.tokenizer,
+                beam_size=beam_size, n_slots=2, dtype=jnp.bfloat16,
+                int8_self_cache=int8_self_cache, **guards)
+        else:
+            self.server = EngineServer(eng.cfg, eng.params,
+                                       tokenizer=eng.tokenizer, n_slots=4,
+                                       dtype=jnp.bfloat16,
+                                       int8_self_cache=int8_self_cache,
+                                       **guards)
         self._win = 0
 
     def transcribe(self, audio, **kw):
@@ -169,10 +180,10 @@ class _ServerEngine:
 
 
 def _server_wer(model: str, dataset: str, limit, int8: bool,
-                rung: bool = False):
+                rung: bool = False, beam_size: int = 0):
     from openhush_tpu.utils.wer import evaluate_librispeech
     eng = _ServerEngine(model, int8_self_cache=int8,
-                        quantize_weights=rung)
+                        quantize_weights=rung, beam_size=beam_size)
     return evaluate_librispeech(eng, dataset, limit=limit)
 
 
@@ -470,21 +481,48 @@ def main() -> int:
             wer_holder["int8"] = r.wer
             return {"wer": round(r.wer, 4), "ref_words": r.n_ref_words}
 
+        def wer_beam_bf16():
+            r = _server_wer(model, args.dataset, args.limit, int8=False,
+                            beam_size=5)
+            wer_holder["beam_bf16"] = r.wer
+            return {"wer": round(r.wer, 4), "ref_words": r.n_ref_words}
+
+        def wer_beam_int8():
+            # The int8_self_cache.ok marker flips the default for BOTH
+            # server families (BeamEngineServer inherits the resolution),
+            # so the decision must also see the beam path's drift: the
+            # grouped beam step quantizes through a different attention
+            # formulation (model.decode_beam_step).
+            r = _server_wer(model, args.dataset, args.limit, int8=True,
+                            beam_size=5)
+            wer_holder["beam_int8"] = r.wer
+            return {"wer": round(r.wer, 4), "ref_words": r.n_ref_words}
+
         def decide():
-            if "bf16" not in wer_holder or "int8" not in wer_holder:
+            need = ("bf16", "int8", "beam_bf16", "beam_int8")
+            if any(k not in wer_holder for k in need):
                 raise RuntimeError("WER stages incomplete")
             drift = wer_holder["int8"] - wer_holder["bf16"]
+            beam_drift = wer_holder["beam_int8"] - wer_holder["beam_bf16"]
             marker = os.path.join(default_model_dir(),
                                   "int8_self_cache.ok")
             random_init = os.environ.get(
                 "OPENHUSH_ALLOW_RANDOM_INIT") == "1"
-            if drift < INT8_WER_DRIFT_MAX and not random_init:
+            ok = (drift < INT8_WER_DRIFT_MAX
+                  and beam_drift < INT8_WER_DRIFT_MAX)
+            if ok and not random_init:
                 with open(marker, "w") as f:
-                    json.dump({"drift": drift,
+                    json.dump({"drift": drift, "beam_drift": beam_drift,
                                "bf16": wer_holder["bf16"],
-                               "int8": wer_holder["int8"]}, f)
-                return {"drift": round(drift, 5), "default_flipped": True}
-            return {"drift": round(drift, 5), "default_flipped": False,
+                               "int8": wer_holder["int8"],
+                               "beam_bf16": wer_holder["beam_bf16"],
+                               "beam_int8": wer_holder["beam_int8"]}, f)
+                return {"drift": round(drift, 5),
+                        "beam_drift": round(beam_drift, 5),
+                        "default_flipped": True}
+            return {"drift": round(drift, 5),
+                    "beam_drift": round(beam_drift, 5),
+                    "default_flipped": False,
                     "note": "random-init dryrun never flips"
                     if random_init else "drift too large"}
 
@@ -557,6 +595,8 @@ def main() -> int:
 
         gate.stage("wer_bf16", wer_bf16)
         gate.stage("wer_int8_self", wer_int8)
+        gate.stage("wer_beam_bf16", wer_beam_bf16)
+        gate.stage("wer_beam_int8", wer_beam_int8)
         gate.stage("int8_decision", decide)
         gate.stage("wer_gelu_tanh", wer_gelu_tanh)
         gate.stage("gelu_decision", decide_gelu)
