@@ -587,6 +587,28 @@ def main() -> None:
             # sections' HBM margin if the measurement dies mid-run.
             del q_params
 
+    # Third metric line (VERDICT r4 #2): the W8A8 encoder rung stacked on
+    # the combined decoder rung — int8 encoder weights + per-row int8
+    # activations put the compute-bound encoder projections on the int8
+    # MXU (853.9 → 729.0 ms for the B=32 encode alone). Gated by its own
+    # marker (int8_encoder.ok, tools/checkpoint_gate.py wer_int8_encoder).
+    if os.environ.get("OPENHUSH_BENCH_INT8_ENC", "1") == "1":
+        qf_params = None
+        try:
+            qf_params = whisper.quantize_encoder_weights(
+                whisper.quantize_decoder_weights(params))
+            full_x = raw_x_realtime(BATCH,
+                                    step=make_bench_step(cfg,
+                                                         int8_cache=True),
+                                    p=qf_params)
+            out["int8_full_x_realtime"] = round(full_x, 2)
+            out["int8_full_vs_bf16"] = round(full_x / x_realtime, 3)
+            persist(out)
+        except Exception as e:  # noqa: BLE001 — headline must survive
+            out["int8_full_error"] = f"{type(e).__name__}: {e}"[:200]
+        finally:
+            del qf_params
+
     # End-to-end SERVING numbers (VERDICT r2 #2): the same per-window work
     # through the real EngineServer (admission + batched decode + harvest),
     # plain and speculative. Guarded: the raw headline always prints, and

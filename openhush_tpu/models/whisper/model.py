@@ -290,7 +290,7 @@ def quantize_decoder_weights(params: Params) -> Params:
     out = dict(params)
     layers = dict(params["decoder"]["layers"])
     for name, w in list(layers.items()):
-        if name.endswith("_w"):
+        if name.endswith("_w") and not isinstance(w, dict):
             w32 = jnp.asarray(w, jnp.float32)
             scale = jnp.max(jnp.abs(w32), axis=-2, keepdims=False) / 127.0
             scale = jnp.maximum(scale, 1e-10)
@@ -301,6 +301,63 @@ def quantize_decoder_weights(params: Params) -> Params:
     dec["layers"] = layers
     out["decoder"] = dec
     return out
+
+
+def quantize_encoder_weights(params: Params) -> Params:
+    """Return params with every encoder LAYER matrix quantized to int8 with
+    per-output-channel scales (same recipe as quantize_decoder_weights).
+    Unlike the decoder rung — where int8 weights pay off as halved HBM
+    reads and _mm dequantizes to bf16 — the encoder is COMPUTE-bound
+    (projections measured at ~94% of bf16 MXU peak, docs/STATUS.md), so
+    encode() pairs these weights with per-row int8 activations and runs
+    the dots on the int8 MXU path (~2x bf16 throughput on v5e; measured
+    240 vs 98 TF/s on the [B*T, d]x[d, 4d] MLP shape). Conv stem,
+    positional table and layernorms stay bf16 — they are not matmuls.
+    Reference rung being matched: whisper.cpp's quantized GGML encoder
+    variants (/root/reference/src/engine/whisper.rs:159-287)."""
+    out = dict(params)
+    layers = dict(params["encoder"]["layers"])
+    for name, w in list(layers.items()):
+        if name.endswith("_w") and not isinstance(w, dict):
+            w32 = jnp.asarray(w, jnp.float32)
+            scale = jnp.max(jnp.abs(w32), axis=-2, keepdims=False) / 127.0
+            scale = jnp.maximum(scale, 1e-10)
+            q = jnp.clip(jnp.round(w32 / scale[..., None, :]), -127, 127
+                         ).astype(jnp.int8)
+            layers[name] = {"q": q, "s": scale}
+    enc = dict(params["encoder"])
+    enc["layers"] = layers
+    out["encoder"] = enc
+    return out
+
+
+def _quantize_rows(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8: x [..., D] → (int8 values, fp32 scales
+    [...]). The W8A8 activation half of the encoder rung; one scale per
+    token row keeps the quantize a single fused pass over x.
+
+    Stays the plain XLA formulation ON PURPOSE: unlike the per-head cache
+    quantize (which XLA lowers through a relayouting [..., H, 64] reshape
+    and the Pallas kernel beats 6x), the per-row reduce has no relayout
+    to avoid, and routing it through pallas_call instead BREAKS the
+    fusion with the surrounding layernorm/GELU: measured 729.0 ms (XLA)
+    vs 1051.9 ms (Pallas) for the full int8 B=32 large-v3 encode on
+    v5e."""
+    x32 = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(x32), axis=-1) * jnp.float32(1.0 / 127.0)
+    safe = jnp.maximum(scale, 1e-10)
+    q = jnp.clip(jnp.round(x32 / safe[..., None]), -127, 127
+                 ).astype(jnp.int8)
+    return q, safe
+
+
+def _mm_i8(x8: jax.Array, xs: jax.Array, w: dict) -> jax.Array:
+    """int8 x int8 → int32 MXU dot with both scale folds: x8 [..., I]
+    per-row scales xs [...], w {'q': int8 [I, O], 's': fp32 [O]} →
+    fp32 [..., O]. The MXU never sees a dequantized operand."""
+    y = jnp.dot(x8, w["q"], preferred_element_type=jnp.int32
+                ).astype(jnp.float32)
+    return y * xs[..., None] * w["s"].astype(jnp.float32)
 
 
 def _gelu(x):
@@ -370,6 +427,8 @@ def encode(cfg: WhisperConfig, params: Params, mel: jax.Array) -> jax.Array:
     x = x + enc["pos_emb"][None, : x.shape[1]].astype(x.dtype)
 
     n_head = cfg.n_audio_head
+    int8 = isinstance(enc["layers"]["q_w"], dict)
+
     def block(x, lp):
         h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
         q = _split_heads(h @ lp["q_w"] + lp["q_b"], n_head)
@@ -380,7 +439,31 @@ def encode(cfg: WhisperConfig, params: Params, mel: jax.Array) -> jax.Array:
         x = x + _mlp(h, lp)
         return x, None
 
-    x, _ = jax.lax.scan(block, x, enc["layers"])
+    def block_i8(x, lp):
+        # W8A8 encoder rung (quantize_encoder_weights): every projection
+        # runs int8xint8→int32 on the MXU; activations quantize per row,
+        # ONCE per distinct matmul input (h feeds q/k/v from one
+        # quantize). Residual stream, layernorms, attention and GELU stay
+        # bf16 — accuracy-critical and not matmul-shaped.
+        dt = x.dtype
+        h = layer_norm(x, lp["ln1_scale"], lp["ln1_bias"])
+        h8, hs = _quantize_rows(h)
+        q = _split_heads((_mm_i8(h8, hs, lp["q_w"])
+                          + lp["q_b"]).astype(dt), n_head)
+        k = _split_heads(_mm_i8(h8, hs, lp["k_w"]).astype(dt), n_head)
+        v = _split_heads((_mm_i8(h8, hs, lp["v_w"])
+                          + lp["v_b"]).astype(dt), n_head)
+        a = _merge_heads(_attend_full(q, k, v))
+        a8, as_ = _quantize_rows(a)
+        x = x + (_mm_i8(a8, as_, lp["o_w"]) + lp["o_b"]).astype(dt)
+        h = layer_norm(x, lp["ln2_scale"], lp["ln2_bias"])
+        h8, hs = _quantize_rows(h)
+        g = _gelu((_mm_i8(h8, hs, lp["fc1_w"]) + lp["fc1_b"]).astype(dt))
+        g8, gs = _quantize_rows(g)
+        x = x + (_mm_i8(g8, gs, lp["fc2_w"]) + lp["fc2_b"]).astype(dt)
+        return x, None
+
+    x, _ = jax.lax.scan(block_i8 if int8 else block, x, enc["layers"])
     return layer_norm(x, enc["ln_post_scale"], enc["ln_post_bias"])
 
 

@@ -63,27 +63,35 @@ def quantize_heads_pallas(x: jax.Array, n_head: int,
     B, T, HD = x.shape
     head_dim = HD // n_head
     rows = B * T
-    rows_p = -(-rows // ROW_BLOCK) * ROW_BLOCK
+    # Rows per grid step: halve from 512 while the block's VMEM footprint
+    # (bf16 in + fp32 working copy + int8 out ≈ 7 bytes/elem) would blow
+    # the 16 MB scoped-vmem budget — the encoder rung quantizes the
+    # [*, 4d]-wide GELU output (HD = 5120 for large-v3) through the same
+    # kernel that was sized for HD ≤ 1280 caches.
+    row_block = ROW_BLOCK
+    while row_block > 8 and row_block * HD * 7 > 12 * 2 ** 20:
+        row_block //= 2
+    rows_p = -(-rows // row_block) * row_block
     xr = x.reshape(rows, HD)
     if rows_p != rows:
         xr = jnp.pad(xr, ((0, rows_p - rows), (0, 0)))
-    xr = xr.reshape(rows_p // ROW_BLOCK, ROW_BLOCK, HD)
+    xr = xr.reshape(rows_p // row_block, row_block, HD)
     kern = functools.partial(_kernel, n_head=n_head, head_dim=head_dim)
     q, s = pl.pallas_call(
         kern,
-        grid=(rows_p // ROW_BLOCK,),
-        in_specs=[pl.BlockSpec((1, ROW_BLOCK, HD), lambda i: (i, 0, 0),
+        grid=(rows_p // row_block,),
+        in_specs=[pl.BlockSpec((1, row_block, HD), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, ROW_BLOCK, HD), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, row_block, HD), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ROW_BLOCK, SCALE_LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, row_block, SCALE_LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((rows_p // ROW_BLOCK, ROW_BLOCK, HD),
+            jax.ShapeDtypeStruct((rows_p // row_block, row_block, HD),
                                  jnp.int8),
-            jax.ShapeDtypeStruct((rows_p // ROW_BLOCK, ROW_BLOCK,
+            jax.ShapeDtypeStruct((rows_p // row_block, row_block,
                                   SCALE_LANES), jnp.float32),
         ],
         interpret=interpret,

@@ -152,6 +152,7 @@ class WhisperEngine:
                  vocab_dir: Optional[str] = None,
                  allow_random_init: bool = False,
                  quantize_weights: Optional[bool] = None,
+                 quantize_encoder: Optional[bool] = None,
                  draft_model: Optional[str] = None,
                  params=None):
         self.cfg = get_config(model)
@@ -199,6 +200,17 @@ class WhisperEngine:
             # int8 per-output-channel decoder weights: halves the largest
             # per-token HBM read; prob diff ~1e-4 vs bf16.
             self.params = whisper.quantize_decoder_weights(self.params)
+        if quantize_encoder is None:
+            from openhush_tpu.utils.quant_flags import int8_encoder_enabled
+            quantize_encoder = int8_encoder_enabled()
+        if quantize_encoder:
+            # W8A8 encoder rung: int8 weights + per-row int8 activations
+            # run every encoder projection on the int8 MXU path — the
+            # encoder is COMPUTE-bound, so this attacks its measured
+            # floor directly (853.9 → 729.0 ms at large-v3 B=32 on v5e).
+            # Default-off until the gate's real-weight WER run drops
+            # int8_encoder.ok (tools/checkpoint_gate.py).
+            self.params = whisper.quantize_encoder_weights(self.params)
         self.tokenizer = WhisperTokenizer.for_model(
             model, vocab_dir or os.path.dirname(path))
         self._encode = jax.jit(

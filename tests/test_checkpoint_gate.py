@@ -27,7 +27,7 @@ def test_gate_offline_dryrun(tmp_path):
     rc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "checkpoint_gate.py"),
          "--offline-dryrun", "--work", str(tmp_path / "work")],
-        env=env, capture_output=True, text=True, timeout=2700)
+        env=env, capture_output=True, text=True, timeout=3600)
     sys.stdout.write(rc.stdout[-2000:])
     assert rc.returncode == 0, rc.stdout[-1500:] + rc.stderr[-1500:]
     report = json.loads(
@@ -37,6 +37,7 @@ def test_gate_offline_dryrun(tmp_path):
                 "wer_int8_self", "wer_beam_bf16", "wer_beam_int8",
                 "int8_decision", "wer_gelu_tanh",
                 "gelu_decision", "wer_int8_rung", "int8_rung_decision",
+                "wer_int8_encoder", "int8_encoder_decision",
                 "spec_accept_rate", "m2m100_convert", "aux_convert",
                 "silero_sanity", "diarization_der"}
     assert expected <= set(report["stages"])
@@ -52,6 +53,9 @@ def test_gate_offline_dryrun(tmp_path):
     assert not (tmp_path / "models" / "gelu_tanh.ok").exists()
     assert report["stages"]["int8_rung_decision"]["detail"][
         "default_flipped"] is False
+    assert report["stages"]["int8_encoder_decision"]["detail"][
+        "default_flipped"] is False
+    assert not (tmp_path / "models" / "int8_encoder.ok").exists()
     assert not (tmp_path / "models" / "int8_rung.ok").exists()
     # Accept-rate stage measures a real number in [0, 1] + the projected
     # tokens/iteration the spec policy consumes.

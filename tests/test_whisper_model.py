@@ -177,6 +177,38 @@ def test_quantized_cross_kv_matches_fp(pair):
     np.testing.assert_array_equal(pf.argmax(-1), pq.argmax(-1))
 
 
+def test_int8_encoder_rung_drift_and_structure(pair):
+    """W8A8 encoder rung (quantize_encoder_weights + the int8 block in
+    encode): every layer matrix becomes {'q' int8, 's' fp32 per-out-
+    channel}; conv stem / pos / LN stay dense; features stay close to
+    bf16 (activation+weight quantization compounds through L layers, so
+    the contract is feature-level drift bounds + the WER gate stage
+    (tools/checkpoint_gate.py wer_int8_encoder), not logit equality)."""
+    import jax
+    import jax.numpy as jnp
+    _, params, cfg = pair
+    qp = whisper.quantize_encoder_weights(params)
+    for name in ("q_w", "k_w", "v_w", "o_w", "fc1_w", "fc2_w"):
+        w = qp["encoder"]["layers"][name]
+        assert isinstance(w, dict) and w["q"].dtype == jnp.int8
+        assert w["s"].shape == w["q"].shape[:1] + w["q"].shape[2:]
+    assert not isinstance(qp["encoder"]["conv1_w"], dict)
+    assert not isinstance(qp["decoder"]["layers"]["q_w"], dict)
+    # Idempotent (engine may see pre-quantized injected params).
+    qp2 = whisper.quantize_encoder_weights(qp)
+    assert qp2["encoder"]["layers"]["q_w"]["q"] is \
+        qp["encoder"]["layers"]["q_w"]["q"]
+
+    rng = np.random.default_rng(11)
+    mel = rng.standard_normal((2, 80, 3000)).astype(np.float32) * 0.5
+    f_bf = np.asarray(whisper.encode(cfg, params, mel), np.float32)
+    f_i8 = np.asarray(whisper.encode(cfg, qp, mel), np.float32)
+    cos = ((f_bf * f_i8).sum()
+           / (np.linalg.norm(f_bf) * np.linalg.norm(f_i8)))
+    assert cos > 0.995, f"encoder rung features diverged: cosine {cos}"
+    assert np.abs(f_bf - f_i8).max() < 0.1 * np.abs(f_bf).max()
+
+
 def test_flash_block_env_guard(monkeypatch):
     """OPENHUSH_FLASH_BLOCK=0 / junk must not crash the encoder trace
     (ADVICE r2: blk<=0 div-by-zero)."""

@@ -29,6 +29,10 @@ Stages (each recorded in gate_report.json as {ok, seconds, detail}):
                        utils/quant_flags.py; measured 295x vs bf16 250x)
   9. int8_rung_decision drift < 0.1 abs → drops models/int8_rung.ok
                        (engine + server flip the whole rung on it)
+  9b. wer_int8_encoder SERVING-path WER with the W8A8 encoder rung
+      + decision       (int8 encoder weights + per-row int8 activations
+                       on the MXU; 853.9 → 729.0 ms large-v3 B=32
+                       encode) → drops models/int8_encoder.ok
  10. spec_accept_rate  real-draft acceptance: per-position agreement of
                        the draft's greedy argmax with the big model's
                        next token over dataset decodes — the measured
@@ -131,7 +135,8 @@ class _ServerEngine:
     + int8 cross-KV (always on in serving) + fused quantize kernel."""
 
     def __init__(self, model: str, int8_self_cache: bool,
-                 quantize_weights: bool = False, beam_size: int = 0):
+                 quantize_weights: bool = False, beam_size: int = 0,
+                 quantize_encoder: bool = False):
         import jax.numpy as jnp
 
         from openhush_tpu.runtime.engine import WhisperEngine
@@ -139,7 +144,8 @@ class _ServerEngine:
 
         eng = WhisperEngine(model, language="en", allow_random_init=os
                             .environ.get("OPENHUSH_ALLOW_RANDOM_INIT")
-                            == "1", quantize_weights=quantize_weights)
+                            == "1", quantize_weights=quantize_weights,
+                            quantize_encoder=quantize_encoder)
         guards = ({} if not getattr(eng, "random_init", False)
                   else dict(temperatures=(0.0,),
                             logprob_threshold=-1e9,
@@ -180,10 +186,12 @@ class _ServerEngine:
 
 
 def _server_wer(model: str, dataset: str, limit, int8: bool,
-                rung: bool = False, beam_size: int = 0):
+                rung: bool = False, beam_size: int = 0,
+                encoder: bool = False):
     from openhush_tpu.utils.wer import evaluate_librispeech
     eng = _ServerEngine(model, int8_self_cache=int8,
-                        quantize_weights=rung, beam_size=beam_size)
+                        quantize_weights=rung, beam_size=beam_size,
+                        quantize_encoder=encoder)
     return evaluate_librispeech(eng, dataset, limit=limit)
 
 
@@ -590,6 +598,36 @@ def main() -> int:
                     "note": "random-init dryrun never flips"
                     if random_init else "drift too large"}
 
+        def wer_int8_encoder():
+            # W8A8 encoder rung through the serving path: int8 encoder
+            # weights + per-row int8 activations on the MXU
+            # (model.quantize_encoder_weights). Separate decision from
+            # the decoder rung — different bottleneck, different drift
+            # profile (activations quantize too, so expect more drift
+            # than weight-only).
+            r = _server_wer(model, args.dataset, args.limit, int8=False,
+                            encoder=True)
+            wer_holder["encoder"] = r.wer
+            return {"wer": round(r.wer, 4), "ref_words": r.n_ref_words}
+
+        def decide_encoder():
+            if "bf16" not in wer_holder or "encoder" not in wer_holder:
+                raise RuntimeError("WER stages incomplete")
+            from openhush_tpu.utils.quant_flags import ENCODER_MARKER
+            drift = wer_holder["encoder"] - wer_holder["bf16"]
+            random_init = os.environ.get(
+                "OPENHUSH_ALLOW_RANDOM_INIT") == "1"
+            if drift < INT8_WER_DRIFT_MAX and not random_init:
+                marker = os.path.join(default_model_dir(), ENCODER_MARKER)
+                with open(marker, "w") as f:
+                    json.dump({"drift": drift,
+                               "bf16": wer_holder["bf16"],
+                               "encoder": wer_holder["encoder"]}, f)
+                return {"drift": round(drift, 5), "default_flipped": True}
+            return {"drift": round(drift, 5), "default_flipped": False,
+                    "note": "random-init dryrun never flips"
+                    if random_init else "drift too large"}
+
         draft_model = args.draft_model or (
             "large-v3-turbo" if model == "large-v3" else None)
 
@@ -602,6 +640,8 @@ def main() -> int:
         gate.stage("gelu_decision", decide_gelu)
         gate.stage("wer_int8_rung", wer_int8_rung)
         gate.stage("int8_rung_decision", decide_rung)
+        gate.stage("wer_int8_encoder", wer_int8_encoder)
+        gate.stage("int8_encoder_decision", decide_encoder)
         if draft_model:
             gate.stage("spec_accept_rate", lambda: _accept_rate(
                 model, draft_model, args.dataset, args.limit))

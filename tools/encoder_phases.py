@@ -2,9 +2,10 @@
 
 Times, on the attached TPU: (a) the mel frontend, (b) the conv stem
 alone, (c) the full encoder, (d) the full encoder with tanh-approximate
-GELU (upper bound for swapping the exact erf), and (e) a fused-QKV
+GELU (upper bound for swapping the exact erf), (e) a fused-QKV
 projection variant (one [d, 3d] dot instead of three [d, d] dots per
-layer). Measurement-only — results feed the optimization notes in
+layer), and (f) the W8A8 int8 encoder rung (int8 weights + per-row int8
+activations on the MXU). Measurement-only — results feed the optimization notes in
 docs/STATUS.md; any shipped change must stay parity-exact.
 
 Usage: python tools/encoder_phases.py [model] [batch]
@@ -106,6 +107,11 @@ def main() -> int:
 
     t_fused = bench(jax.jit(encode_fused), params, mel)
 
+    # (f) W8A8 int8 encoder rung: int8 weights + per-row int8 activations
+    # on the MXU (model.quantize_encoder_weights / encode's block_i8).
+    q_enc = whisper.quantize_encoder_weights(params)
+    t_int8 = bench(encode, q_enc, mel)
+
     # Cross-KV projection + int8 quantization (the remainder of
     # bench_phases' "encode phase").
     feats = encode(params, mel)
@@ -129,6 +135,9 @@ def main() -> int:
           f"(delta {t_full - t_tanh:+.1f})")
     print(f"encode fused-qkv:    {t_fused:8.1f} ms "
           f"(delta {t_full - t_fused:+.1f})")
+    print(f"encode int8 W8A8:    {t_int8:8.1f} ms "
+          f"(delta {t_full - t_int8:+.1f}, "
+          f"{t_full / max(t_int8, 1e-9):.3f}x)")
     L2 = 2 * cfg.n_text_layer
     print(f"cross-KV int8 scan:  {t_xkv:8.1f} ms")
     print(f"quantize_heads x1:   {t_quant1:8.2f} ms "
